@@ -1,0 +1,48 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+The environment's sitecustomize registers the axon TPU plugin and forces
+``jax_platforms="axon,cpu"`` via jax.config (which overrides the
+JAX_PLATFORMS env var), so we must reset the config value here — before any
+backend is initialized — and request 8 virtual CPU devices for sharding
+tests.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+except Exception:
+    pass
+
+import pytest  # noqa: E402
+import numpy as np  # noqa: E402
+
+REF_DATA = "/root/reference/ndt_omp/data"
+
+
+@pytest.fixture(scope="session")
+def sample_pcds():
+    from toyslam_tpu.core import pcd_io
+
+    target = pcd_io.read_pcd(f"{REF_DATA}/251370668.pcd")
+    source = pcd_io.read_pcd(f"{REF_DATA}/251371071.pcd")
+    return target, source
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

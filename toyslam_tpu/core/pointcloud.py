@@ -1,0 +1,160 @@
+"""Fixed-shape padded point-cloud representation and masked ops.
+
+TPU-first design: every cloud is a ``[N, 4]`` float32 tensor (x, y, z,
+intensity) plus a ``[N]`` bool validity mask, padded to a static capacity.
+This mirrors the reference's own 4-padded SIMD layout
+(``ndt_omp_impl.hpp:401``) and removes all dynamic shapes from the compiled
+path. Invalid lanes carry a large sentinel coordinate so they fall outside
+any voxel/neighbor query by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel coordinate for padded/invalid points: far outside any realistic map.
+PAD_COORD = 1.0e9
+
+
+class PointCloud(NamedTuple):
+    """Padded point cloud: ``xyzi[N, 4]`` + ``mask[N]`` (+ true count)."""
+
+    xyzi: jax.Array  # [N, 4] float
+    mask: jax.Array  # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xyzi.shape[0]
+
+    @property
+    def count(self):
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    @property
+    def xyz(self):
+        return self.xyzi[..., :3]
+
+
+def from_numpy(points: np.ndarray, capacity: int | None = None,
+               dtype=jnp.float32) -> PointCloud:
+    """Build a padded PointCloud from a [n, 3] or [n, 4] numpy array."""
+    points = np.asarray(points)
+    n = points.shape[0]
+    if capacity is None:
+        capacity = n
+    if points.shape[1] == 3:
+        points = np.concatenate([points, np.zeros((n, 1), points.dtype)], axis=1)
+    finite = np.isfinite(points[:, :3]).all(axis=1)
+    xyzi = np.full((capacity, 4), PAD_COORD, dtype=np.float64)
+    xyzi[:, 3] = 0.0
+    k = min(n, capacity)
+    xyzi[:k] = points[:k]
+    mask = np.zeros((capacity,), dtype=bool)
+    mask[:k] = finite[:k]
+    # Invalid (non-finite) points get the sentinel so they never hit a voxel.
+    xyzi[:k][~finite[:k], :3] = PAD_COORD
+    return PointCloud(jnp.asarray(xyzi, dtype=dtype), jnp.asarray(mask))
+
+
+def pad_to(cloud: PointCloud, capacity: int) -> PointCloud:
+    n = cloud.capacity
+    if n == capacity:
+        return cloud
+    if n > capacity:
+        return PointCloud(cloud.xyzi[:capacity], cloud.mask[:capacity])
+    pad = jnp.full((capacity - n, 4), PAD_COORD, dtype=cloud.xyzi.dtype)
+    pad = pad.at[:, 3].set(0.0)
+    return PointCloud(
+        jnp.concatenate([cloud.xyzi, pad], axis=0),
+        jnp.concatenate([cloud.mask, jnp.zeros(capacity - n, dtype=bool)], axis=0),
+    )
+
+
+def transform(cloud: PointCloud, T) -> PointCloud:
+    """Rigid transform; padded lanes keep their sentinel (masked out)."""
+    xyz = jnp.matmul(cloud.xyzi[:, :3], T[:3, :3].T,
+                     precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
+    xyz = jnp.where(cloud.mask[:, None], xyz, cloud.xyzi[:, :3])
+    return PointCloud(jnp.concatenate([xyz, cloud.xyzi[:, 3:4]], axis=1), cloud.mask)
+
+
+def masked_min_max(cloud: PointCloud):
+    """Min/max over valid points (reference: pcl::getMinMax3D in applyFilter)."""
+    big = jnp.asarray(PAD_COORD, cloud.xyzi.dtype)
+    xyz = cloud.xyzi[:, :3]
+    mn = jnp.min(jnp.where(cloud.mask[:, None], xyz, big), axis=0)
+    mx = jnp.max(jnp.where(cloud.mask[:, None], xyz, -big), axis=0)
+    return mn, mx
+
+
+def _voxel_ids(xyz, mask, inv_leaf, min_b, div_mul):
+    """Linear voxel id per point; invalid points get id = INT32_MAX."""
+    ijk = jnp.floor(xyz * inv_leaf).astype(jnp.int32) - min_b
+    vid = jnp.sum(ijk * div_mul, axis=-1)
+    return jnp.where(mask, vid, jnp.iinfo(jnp.int32).max)
+
+
+def voxel_ids(cloud: PointCloud, leaf_size: float):
+    """Per-point linear voxel id over the cloud's dynamic bounding grid.
+
+    Matches VoxelGrid's linearization (``voxel_grid_covariance_omp_impl.hpp:
+    86-103,218-226``): ``ijk = floor(p/leaf) - floor(min/leaf)``, linear id =
+    ``i + j*dx + k*dx*dy``. Bounds are dynamic *values* (fine under jit);
+    shapes stay static.
+    """
+    dtype = cloud.xyzi.dtype
+    inv_leaf = jnp.asarray(1.0 / leaf_size, dtype)
+    mn, mx = masked_min_max(cloud)
+    min_b = jnp.floor(mn * inv_leaf).astype(jnp.int32)
+    max_b = jnp.floor(mx * inv_leaf).astype(jnp.int32)
+    div = max_b - min_b + 1
+    div_mul = jnp.stack([jnp.int32(1), div[0], div[0] * div[1]])
+    vid = _voxel_ids(cloud.xyzi[:, :3], cloud.mask, inv_leaf, min_b, div_mul)
+    return vid, min_b, div_mul
+
+
+def unique_voxel_slots(vid):
+    """Compact sorted unique voxel ids with static shapes.
+
+    Returns (unique_ids[N] sorted with INT32_MAX padding,
+             slot[N] per input point, n_unique).
+    """
+    n = vid.shape[0]
+    sorted_vid = jnp.sort(vid)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
+    ) & (sorted_vid != jnp.iinfo(jnp.int32).max)
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_unique = pos[-1] + 1
+    unique_ids = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    # Non-first entries scatter out of bounds and are dropped; first entries
+    # land at monotone positions, so the result is sorted with MAX padding.
+    unique_ids = unique_ids.at[jnp.where(first, pos, n)].set(
+        sorted_vid.astype(jnp.int32), mode="drop"
+    )
+    slot = jnp.searchsorted(unique_ids, vid)
+    return unique_ids, slot, n_unique
+
+
+def voxel_downsample(cloud: PointCloud, leaf_size: float) -> PointCloud:
+    """Centroid voxel downsample (pcl::VoxelGrid equivalent).
+
+    Output has the same static capacity; valid lanes = number of occupied
+    voxels, each holding the mean of its points (xyz and intensity).
+    """
+    vid, _, _ = voxel_ids(cloud, leaf_size)
+    unique_ids, slot, n_unique = unique_voxel_slots(vid)
+    n = cloud.capacity
+    w = cloud.mask.astype(cloud.xyzi.dtype)
+    pts = jnp.where(cloud.mask[:, None], cloud.xyzi, 0.0)
+    sums = jax.ops.segment_sum(pts * w[:, None], slot, num_segments=n)
+    cnts = jax.ops.segment_sum(w, slot, num_segments=n)
+    valid = unique_ids != jnp.iinfo(jnp.int32).max
+    centroid = sums / jnp.maximum(cnts, 1.0)[:, None]
+    out = jnp.where(valid[:, None], centroid, PAD_COORD)
+    out = out.at[:, 3].set(jnp.where(valid, centroid[:, 3], 0.0))
+    return PointCloud(out, valid)
