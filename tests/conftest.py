@@ -18,6 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 try:
     from jax._src import xla_bridge as _xb
 

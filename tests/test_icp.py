@@ -1,0 +1,42 @@
+import numpy as np
+import jax.numpy as jnp
+
+from toyslam_tpu.core import pointcloud, se3
+from toyslam_tpu.registration import icp
+
+
+def test_icp_recovers_transform(rng):
+    # Reference-style random field benchmark
+    # (iterative_closest_point.py:143-200): random points, known motion.
+    n = 600
+    pts = rng.uniform(-10, 10, size=(n, 3))
+    true_p = np.array([0.5, -0.3, 0.2, 0.05, -0.03, 0.08])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    moved = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+    source = pointcloud.from_numpy(pts, capacity=768, dtype=jnp.float64)
+    target = pointcloud.from_numpy(moved, capacity=768, dtype=jnp.float64)
+
+    result = icp.icp_align(source, target)
+    assert bool(result.converged)
+    T = np.asarray(result.transform)
+    np.testing.assert_allclose(T, T_true, atol=1e-4)
+    assert float(result.error) < 1e-4
+
+
+def test_icp_with_noise_and_padding(rng):
+    n = 500
+    pts = rng.uniform(-5, 5, size=(n, 3))
+    T_true = np.asarray(
+        se3.pose6_to_matrix(jnp.asarray([0.2, 0.1, -0.1, 0.02, 0.01, -0.03],
+                                        jnp.float64))
+    )
+    moved = pts @ T_true[:3, :3].T + T_true[:3, 3] + 0.01 * rng.normal(size=(n, 3))
+
+    source = pointcloud.from_numpy(pts, capacity=1024, dtype=jnp.float64)
+    target = pointcloud.from_numpy(moved, capacity=700, dtype=jnp.float64)
+
+    result = icp.icp_align(source, target)
+    T = np.asarray(result.transform)
+    assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.05
+    assert np.abs(T[:3, :3] - T_true[:3, :3]).max() < 0.02

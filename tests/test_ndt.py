@@ -1,0 +1,197 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toyslam_tpu.core import pointcloud, se3
+from toyslam_tpu.ops.eigh3 import eigh3
+from toyslam_tpu.registration import ndt
+
+
+def test_eigh3_matches_numpy(rng):
+    A = rng.normal(size=(256, 3, 3))
+    A = A + np.swapaxes(A, 1, 2)
+    evals, evecs = eigh3(jnp.asarray(A))
+    evals_np, evecs_np = np.linalg.eigh(A)
+    np.testing.assert_allclose(np.asarray(evals), evals_np, atol=1e-10)
+    # eigenvectors equal up to sign
+    dots = np.abs(np.einsum("bij,bij->bj", np.asarray(evecs), evecs_np))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-8)
+
+
+def _numpy_ndt_map(points, res, min_pts=6, mult=0.01):
+    """Independent float64 golden for the voxel-Gaussian map."""
+    xyz = points[:, :3].astype(np.float64)
+    min_b = np.floor(xyz.min(0) / res).astype(np.int64)
+    max_b = np.floor(xyz.max(0) / res).astype(np.int64)
+    div = max_b - min_b + 1
+    ijk = np.floor(xyz / res).astype(np.int64) - min_b
+    vid = ijk[:, 0] + ijk[:, 1] * div[0] + ijk[:, 2] * div[0] * div[1]
+    out = {}
+    for v in np.unique(vid):
+        pts = xyz[vid == v]
+        n = len(pts)
+        if n < min_pts:
+            continue
+        mean = pts.mean(0)
+        cov = (pts - mean).T @ (pts - mean) / n * 1.0  # biased
+        cov *= 1.0  # note below
+        # reference formula: ((sum_pp - 2 sum_p mean^T)/n + mean mean^T)*(n-1)/n
+        sum_p = pts.sum(0)
+        sum_pp = pts.T @ pts
+        cov = (sum_pp - 2 * np.outer(sum_p, mean)) / n + np.outer(mean, mean)
+        cov *= (n - 1.0) / n
+        evals, evecs = np.linalg.eigh(cov)
+        if evals[0] < 0 or evals[1] < 0 or evals[2] <= 0:
+            continue
+        min_ev = mult * evals[2]
+        if evals[0] < min_ev:
+            evals = np.maximum(evals, min_ev)
+            cov = evecs @ np.diag(evals) @ np.linalg.inv(evecs)
+        out[int(v)] = (mean, np.linalg.inv(cov), n)
+    return out, min_b, div
+
+
+def test_ndt_map_matches_numpy(sample_pcds):
+    target, _ = sample_pcds
+    pts = target[::4]  # subsample for test speed
+    cloud = pointcloud.from_numpy(pts, capacity=pts.shape[0] + 64)
+    cfg = ndt.NDTConfig(resolution=1.0)
+    m = jax.jit(ndt.build_ndt_map, static_argnums=1)(cloud, cfg)
+
+    golden, min_b, div = _numpy_ndt_map(pts, 1.0)
+    ids = np.asarray(m.unique_ids)
+    valid = np.asarray(m.valid)
+    mean = np.asarray(m.mean)
+    icov = np.asarray(m.icov)
+
+    got_ids = set(ids[valid].tolist())
+    assert got_ids == set(golden.keys())
+
+    for i in np.where(valid)[0]:
+        gm, gicov, gn = golden[int(ids[i])]
+        np.testing.assert_allclose(mean[i], gm, atol=1e-3)
+        np.testing.assert_allclose(icov[i], gicov, rtol=2e-2, atol=1e-2)
+
+
+def _make_cloud_pair(rng, n=4000):
+    """Synthetic structured scene: floor + two walls + noise, f64."""
+    floor = np.stack(
+        [rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+         0.05 * rng.normal(size=n)], 1
+    )
+    wall1 = np.stack(
+        [rng.uniform(-20, 20, n // 2), np.full(n // 2, 8.0) + 0.05 * rng.normal(size=n // 2),
+         rng.uniform(0, 5, n // 2)], 1
+    )
+    wall2 = np.stack(
+        [np.full(n // 2, -12.0) + 0.05 * rng.normal(size=n // 2),
+         rng.uniform(-20, 20, n // 2), rng.uniform(0, 5, n // 2)], 1
+    )
+    pts = np.concatenate([floor, wall1, wall2], 0)
+    return pts
+
+
+def test_derivatives_match_autodiff(rng):
+    """Analytic gradient/Hessian must equal jax.grad/jax.hessian of the score.
+
+    This independently validates the Magnusson 6.12/6.13 implementation
+    (including the h_ang d1 sign fix vs the reference float path).
+    """
+    pts = _make_cloud_pair(rng, 800)
+    target = pointcloud.PointCloud(
+        jnp.asarray(np.concatenate([pts, np.zeros((len(pts), 1))], 1), jnp.float64),
+        jnp.ones(len(pts), bool),
+    )
+    cfg = ndt.NDTConfig(resolution=2.0)
+    m = ndt.build_ndt_map(target, cfg)
+
+    src = jnp.asarray(pts[::3] + 0.1, jnp.float64)
+    mask = jnp.ones(src.shape[0], bool)
+    d1, d2, _ = ndt.gauss_coefficients(cfg.resolution, cfg.outlier_ratio, jnp.float64)
+    p = jnp.asarray([0.05, -0.12, 0.08, 0.02, -0.03, 0.05], jnp.float64)
+    offs = ndt._OFFSETS["DIRECT7"]
+
+    def score_fn(pp):
+        s, _, _ = ndt.compute_derivatives(m, src, mask, pp, d1, d2, 2.0, offs)
+        return s
+
+    score, grad, hess = ndt.compute_derivatives(m, src, mask, p, d1, d2, 2.0, offs)
+    grad_ad = jax.grad(score_fn)(p)
+    hess_ad = jax.hessian(score_fn)(p)
+
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ad),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(hess), np.asarray(hess_ad),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_align_recovers_known_transform(rng):
+    pts = _make_cloud_pair(rng, 3000)
+    true_p = np.array([0.3, -0.2, 0.1, 0.02, -0.015, 0.04])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    # source = inverse-transformed target, so aligning source->target
+    # should recover T_true
+    src_pts = (pts - T_true[:3, 3]) @ T_true[:3, :3]
+
+    target = pointcloud.from_numpy(pts, dtype=jnp.float32)
+    source = pointcloud.from_numpy(src_pts, dtype=jnp.float32)
+
+    cfg = ndt.NDTConfig(resolution=2.0, transformation_epsilon=0.01,
+                        max_iterations=50)
+    m = ndt.build_ndt_map(target, cfg)
+    result = ndt.ndt_align(m, source, config=cfg)
+
+    assert bool(result.converged)
+    T_est = np.asarray(result.transform)
+    t_err = np.linalg.norm(T_est[:3, 3] - T_true[:3, 3])
+    R_err = np.linalg.norm(T_est[:3, :3] - T_true[:3, :3])
+    assert t_err < 0.05, f"translation error {t_err}"
+    assert R_err < 0.01, f"rotation error {R_err}"
+
+
+@pytest.mark.slow
+def test_sample_pair_vs_golden_f64(sample_pcds):
+    """End-to-end differential test on the reference benchmark pair.
+
+    Oracle: the independent float64 NumPy port of the reference algorithm
+    (tests/golden_ndt.py — exact pclomp control flow incl. More-Thuente).
+    Verified result on this pair: pose6 = [0.3813, 0.0576, -0.0261,
+    -0.0029, 0.0014, 0.0020], fitness 0.204504, identical in golden f64,
+    JAX f64 and JAX f32. (The published pclomp DIRECT7 fitness 0.214205 at
+    ``ndt_omp/README.md:23-26`` reflects an older PCL/voxel-filter build;
+    the deep optimum of this exact code sits at 0.2045 with the default
+    eps=0.1 early stop, 0.2160 when run to eps=0.01.)
+    """
+    import golden_ndt
+
+    target_np, source_np = sample_pcds
+    cap = 70000
+    target = pointcloud.from_numpy(target_np, capacity=cap)
+    source = pointcloud.from_numpy(source_np, capacity=cap)
+
+    target_ds = pointcloud.voxel_downsample(target, 0.1)
+    source_ds = pointcloud.voxel_downsample(source, 0.1)
+
+    cfg = ndt.NDTConfig(resolution=1.0)
+    m = jax.jit(ndt.build_ndt_map, static_argnums=1)(target_ds, cfg)
+    result = jax.jit(ndt.ndt_align, static_argnums=3)(
+        m, source_ds, jnp.eye(4, dtype=jnp.float32), cfg
+    )
+    assert bool(result.converged)
+
+    t_pts = np.asarray(target_ds.xyzi)[np.asarray(target_ds.mask)][:, :3]
+    s_pts = np.asarray(source_ds.xyzi)[np.asarray(source_ds.mask)][:, :3]
+    leaves, min_b, max_b, div = golden_ndt.build_map(t_pts.astype(np.float64), 1.0)
+    T_gold, p_gold, _, _ = golden_ndt.align(
+        leaves, min_b, max_b, div, s_pts.astype(np.float64)
+    )
+
+    # ATE-style criterion: translation within 1e-3 m, rotation chart within
+    # 1e-4 rad of the f64 golden.
+    p_jax = np.asarray(result.pose6)
+    assert np.abs(p_jax[:3] - p_gold[:3]).max() < 1e-3, (p_jax, p_gold)
+    assert np.abs(p_jax[3:] - p_gold[3:]).max() < 1e-4, (p_jax, p_gold)
+
+    fit = float(ndt.fitness_score(source_ds, target_ds, result.transform))
+    assert abs(fit - 0.204504) < 2e-3, fit

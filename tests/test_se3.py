@@ -82,7 +82,7 @@ def test_quat_boxplus_small_angle(rng):
     q2 = se3.quat_boxplus(q, dtheta)
     R2 = se3.quat_to_rot(q2)
     np.testing.assert_allclose(
-        np.asarray(R2), Rotation.from_rotvec(np.asarray(dtheta)).as_matrix(), atol=1e-6
+        np.asarray(R2), Rotation.from_rotvec(np.array(dtheta)).as_matrix(), atol=1e-6
     )
 
 

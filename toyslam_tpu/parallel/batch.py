@@ -1,0 +1,76 @@
+"""Batch / multi-chip scaling layer.
+
+The reference's only "distributed" axis is running independent ROS nodes on
+one machine (SURVEY §2.4). The TPU-native equivalents:
+
+- ``vmap_align``      — vmap over independent scan pairs (one chip).
+- ``sharded_odometry``— shard a batch of independent scan *sequences* over a
+  ``jax.sharding.Mesh`` data axis; each device runs its sequences' ``lax.scan``
+  locally, trajectories are all-gathered (rides ICI). This is the 64-way
+  "batched odometry" BASELINE config.
+
+No collectives are needed inside the registration math itself (each sequence
+is independent); the mesh exists to scale throughput linearly with chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from toyslam_tpu.core.pointcloud import PointCloud
+from toyslam_tpu.pipelines import odometry as odo
+from toyslam_tpu.registration import ndt
+
+
+def vmap_align(targets_xyzi, targets_mask, sources_xyzi, sources_mask,
+               config: ndt.NDTConfig = ndt.NDTConfig()):
+    """Align B independent pairs in one compiled program.
+
+    targets/sources: [B, N, 4] + [B, N]. Returns NDTResult with leading B.
+    """
+
+    def one(t_xyzi, t_mask, s_xyzi, s_mask):
+        m = ndt.build_ndt_map(PointCloud(t_xyzi, t_mask), config)
+        return ndt.ndt_align(
+            m, PointCloud(s_xyzi, s_mask),
+            jnp.eye(4, dtype=t_xyzi.dtype), config,
+        )
+
+    return jax.vmap(one)(targets_xyzi, targets_mask, sources_xyzi, sources_mask)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def sharded_odometry(mesh: Mesh, scans_xyzi, scans_mask,
+                     config: odo.OdometryConfig = odo.OdometryConfig(),
+                     axis: str = "data"):
+    """Run B independent odometry sequences sharded over the mesh data axis.
+
+    scans: [B, S, N, 4] / [B, S, N] with B divisible by mesh size. Each
+    device scans its local sequences; outputs stay sharded (gather at the
+    caller if a replicated trajectory is wanted).
+    """
+    batched = jax.vmap(partial(odo.ndt_odometry, config=config))
+
+    in_specs = (P(axis), P(axis))
+    out_specs = P(axis)
+
+    fn = jax.shard_map(
+        lambda x, m: batched(x, m),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(scans_xyzi, scans_mask)

@@ -1,0 +1,166 @@
+"""Sequential NDT odometry / mapping pipelines as ``lax.scan`` programs.
+
+Capability port of the reference's pipeline nodes:
+
+- ``ndt_odometry``  — scan-to-previous-scan NDT with warm start and pose
+  chaining, the loop of ``ndt_rosbag_mapping_node.cpp:27-144`` (warm start
+  ``:130``, pose chain ``pose = pose * T`` ``:64``, identity fallback on
+  non-convergence ``:140-143``) and ``ndt_omp_mapping_node.cpp:88-97``.
+- ``ndt_mapping``   — odometry + bounded global map accumulation
+  (reference re-voxelizes the whole map each scan at 0.5 m,
+  ``ndt_rosbag_mapping_node.cpp:146-161``; here a fixed-capacity voxel
+  re-filter keeps shapes static and memory bounded).
+
+The ROS graph is replaced by pure functions over pre-decoded scan stacks
+``[S, N, 4]``; everything runs as one compiled program per call.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.core.pointcloud import PointCloud, voxel_downsample
+from toyslam_tpu.registration import ndt
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+class OdometryConfig(NamedTuple):
+    ndt: ndt.NDTConfig = ndt.NDTConfig(
+        # ndt_rosbag_mapping_node defaults (:81-92): eps 0.01, 64 iters... the
+        # node actually uses eps 0.01 / 30 iters / step 0.1 / res 1.0.
+        resolution=1.0,
+        step_size=0.1,
+        transformation_epsilon=0.01,
+        max_iterations=30,
+    )
+    scan_leaf: float = 0.3  # per-scan downsample (``:88``)
+    map_leaf: float = 0.5  # global-map re-filter (``:153``)
+    warm_start: bool = True  # align(prev_transform) (``:130``)
+
+
+class OdometryOutput(NamedTuple):
+    poses: jax.Array  # [S, 4, 4] world-from-scan
+    pairwise: jax.Array  # [S, 4, 4] T(scan_{i-1} <- scan_i)
+    converged: jax.Array  # [S]
+    iterations: jax.Array  # [S]
+    trans_probability: jax.Array  # [S]
+
+
+def _scan_step(cfg: OdometryConfig):
+    def step(carry, scan):
+        prev_ds, pose, prev_T = carry
+        xyzi, mask = scan
+        cur = PointCloud(xyzi, mask)
+        cur_ds = voxel_downsample(cur, cfg.scan_leaf)
+
+        m = ndt.build_ndt_map(prev_ds, cfg.ndt)
+        guess = prev_T if cfg.warm_start else jnp.eye(4, dtype=xyzi.dtype)
+        res = ndt.ndt_align(m, cur_ds, guess, cfg.ndt)
+
+        eye = jnp.eye(4, dtype=xyzi.dtype)
+        T = jnp.where(res.converged, res.transform, eye)
+        pose_new = jnp.matmul(pose, T, precision=_HP)
+        out = (pose_new, T, res.converged, res.iterations, res.trans_probability)
+        return (cur_ds, pose_new, T), out
+
+    return step
+
+
+def ndt_odometry(scans_xyzi, scans_mask, config: OdometryConfig = OdometryConfig(),
+                 initial_pose=None) -> OdometryOutput:
+    """Run NDT odometry over a scan stack [S, N, 4] / [S, N].
+
+    Scan 0 seeds the target; poses[0] = initial_pose (identity by default).
+    """
+    dtype = scans_xyzi.dtype
+    S = scans_xyzi.shape[0]
+    if initial_pose is None:
+        initial_pose = jnp.eye(4, dtype=dtype)
+
+    first = PointCloud(scans_xyzi[0], scans_mask[0])
+    first_ds = voxel_downsample(first, config.scan_leaf)
+    eye = jnp.eye(4, dtype=dtype)
+
+    carry0 = (first_ds, initial_pose.astype(dtype), eye)
+    step = _scan_step(config)
+    _, outs = jax.lax.scan(step, carry0, (scans_xyzi[1:], scans_mask[1:]))
+    poses_rest, pairwise_rest, conv, iters, prob = outs
+
+    poses = jnp.concatenate([initial_pose[None].astype(dtype), poses_rest], 0)
+    pairwise = jnp.concatenate([eye[None], pairwise_rest], 0)
+    converged = jnp.concatenate([jnp.ones((1,), bool), conv])
+    iterations = jnp.concatenate([jnp.zeros((1,), iters.dtype), iters])
+    probs = jnp.concatenate([jnp.zeros((1,), dtype), prob])
+    return OdometryOutput(poses, pairwise, converged, iterations, probs)
+
+
+class MappingOutput(NamedTuple):
+    odometry: OdometryOutput
+    map_xyzi: jax.Array  # [M, 4] accumulated global map (voxel filtered)
+    map_mask: jax.Array  # [M]
+
+
+def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
+                config: OdometryConfig = OdometryConfig()) -> MappingOutput:
+    """Odometry + bounded global-map accumulation.
+
+    Each step transforms the downsampled scan into the world frame, merges it
+    into a fixed-capacity map cloud and re-applies the 0.5 m voxel filter
+    (the reference's unbounded concat+refilter, made memory-static).
+    """
+    dtype = scans_xyzi.dtype
+    N = scans_xyzi.shape[1]
+
+    first = PointCloud(scans_xyzi[0], scans_mask[0])
+    first_ds = voxel_downsample(first, config.scan_leaf)
+
+    map0 = voxel_downsample(first_ds, config.map_leaf)
+    from toyslam_tpu.core.pointcloud import pad_to
+
+    map0 = pad_to(map0, map_capacity)
+
+    eye = jnp.eye(4, dtype=dtype)
+    step_odo = _scan_step(config)
+
+    def step(carry, scan):
+        odo_carry, map_cloud = carry
+        odo_carry_new, out = step_odo(odo_carry, scan)
+        cur_ds, pose_new, _T = odo_carry_new
+
+        # Transform scan into world and merge into the bounded map.
+        world_xyz = jnp.matmul(
+            cur_ds.xyzi[:, :3], pose_new[:3, :3].T, precision=_HP
+        ) + pose_new[:3, 3]
+        world_xyz = jnp.where(cur_ds.mask[:, None], world_xyz, cur_ds.xyzi[:, :3])
+        world = PointCloud(
+            jnp.concatenate([world_xyz, cur_ds.xyzi[:, 3:4]], 1), cur_ds.mask
+        )
+        merged = PointCloud(
+            jnp.concatenate([map_cloud.xyzi, world.xyzi], 0),
+            jnp.concatenate([map_cloud.mask, world.mask], 0),
+        )
+        refiltered = voxel_downsample(merged, config.map_leaf)
+        new_map = PointCloud(
+            refiltered.xyzi[:map_capacity], refiltered.mask[:map_capacity]
+        )
+        return (odo_carry_new, new_map), out
+
+    carry0 = ((first_ds, eye, eye), map0)
+    (_, final_map), outs = jax.lax.scan(
+        step, carry0, (scans_xyzi[1:], scans_mask[1:])
+    )
+    poses_rest, pairwise_rest, conv, iters, prob = outs
+    poses = jnp.concatenate([eye[None], poses_rest], 0)
+    pairwise = jnp.concatenate([eye[None], pairwise_rest], 0)
+    odo = OdometryOutput(
+        poses,
+        pairwise,
+        jnp.concatenate([jnp.ones((1,), bool), conv]),
+        jnp.concatenate([jnp.zeros((1,), iters.dtype), iters]),
+        jnp.concatenate([jnp.zeros((1,), dtype), prob]),
+    )
+    return MappingOutput(odo, final_map.xyzi, final_map.mask)

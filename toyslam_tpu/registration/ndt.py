@@ -1,0 +1,665 @@
+"""TPU-native Normal Distributions Transform registration.
+
+Re-implements the behaviour of ``pclomp::NormalDistributionsTransform``
+(reference: ``ndt_omp/include/pclomp/ndt_omp_impl.hpp``) as a single compiled
+JAX program:
+
+- The voxel-Gaussian target map (reference ``VoxelGridCovariance::applyFilter``,
+  ``voxel_grid_covariance_omp_impl.hpp:48-370``) is built with segment
+  reductions over a sorted spatial hash plus a batched closed-form 3x3
+  eigensolver — no std::map, no KD-tree.
+- DIRECT7/DIRECT1/DIRECT27 neighbor search (``:372-442``) is a static gather
+  of precomputed offsets with bounds/occupancy masks.
+- The Newton iteration with More-Thuente line search
+  (``ndt_omp_impl.hpp:80-171,647-932``) runs inside ``lax.while_loop``; score,
+  gradient and Hessian (Magnusson 2009 eqs. 6.9-6.13, 6.18-6.21) are fused
+  einsum contractions over [points x neighbors] that map onto MXU/VPU.
+
+Differences from the reference (deliberate):
+- KDTREE search mode is dropped (DIRECT7 is the recommended default,
+  ``ndt_omp/README.md:49``).
+- The Hessian is computed on every derivative evaluation instead of the
+  first-trial-only + serial recompute dance (``:835-837,925-929``) — on TPU
+  the fused extra contractions are cheaper than a second pass.
+- The float-path sign bug in the reference's ``h_ang`` row 6 (+sy at
+  ``ndt_omp_impl.hpp:383`` vs the correct -sy in the double path ``:361``)
+  is fixed here; our Hessian matches JAX autodiff of the score exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.core import se3
+from toyslam_tpu.core.pointcloud import PointCloud, masked_min_max
+from toyslam_tpu.ops.eigh3 import eigh3
+
+_HP = jax.lax.Precision.HIGHEST
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+class NDTConfig(NamedTuple):
+    """Knobs mirroring the reference ctor defaults (``ndt_omp_impl.hpp:47-76``)."""
+
+    resolution: float = 1.0
+    step_size: float = 0.1
+    outlier_ratio: float = 0.55
+    transformation_epsilon: float = 0.1
+    max_iterations: int = 35
+    min_points_per_voxel: int = 6
+    search_method: str = "DIRECT7"  # DIRECT7 | DIRECT1 | DIRECT27
+    max_step_iterations: int = 10
+    min_covar_eigvalue_mult: float = 0.01
+
+
+class NDTMap(NamedTuple):
+    """Voxel-Gaussian map: sorted unique voxel ids + per-voxel statistics."""
+
+    unique_ids: jax.Array  # [V] int32, sorted, INT32_MAX padded
+    mean: jax.Array  # [V, 3]
+    icov: jax.Array  # [V, 3, 3]
+    valid: jax.Array  # [V] bool
+    min_b: jax.Array  # [3] int32
+    div: jax.Array  # [3] int32
+    div_mul: jax.Array  # [3] int32
+
+
+class NDTResult(NamedTuple):
+    transform: jax.Array  # [4, 4]
+    converged: jax.Array  # bool
+    iterations: jax.Array  # int32
+    trans_probability: jax.Array  # scalar
+    pose6: jax.Array  # [6] final chart state
+
+
+def gauss_coefficients(resolution, outlier_ratio, dtype=jnp.float32):
+    """Gaussian mixture constants d1, d2, d3 (eq. 6.8 [Magnusson 2009];
+    reference ``ndt_omp_impl.hpp:86-93``)."""
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / resolution**3
+    d3 = -math.log(c2)
+    d1 = -math.log(c1 + c2) - d3
+    d2 = -2.0 * math.log((-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1)
+    return (jnp.asarray(d1, dtype), jnp.asarray(d2, dtype), jnp.asarray(d3, dtype))
+
+
+def _inverse3(M):
+    """Closed-form 3x3 inverse (adjugate / det), batched."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None], det
+
+
+def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
+    """Build the searchable voxel-Gaussian map.
+
+    Pass 1 of the reference (scatter-accumulate count/sum/outer-product,
+    ``voxel_grid_covariance_omp_impl.hpp:206-264``) becomes three
+    ``segment_sum`` calls keyed by sorted-unique voxel slot; pass 2
+    (mean/covariance finalization + eigenvalue inflation + inverse,
+    ``:266-367``) is batched dense algebra.
+    """
+    dtype = target.xyzi.dtype
+    res = config.resolution
+    inv_leaf = jnp.asarray(1.0 / res, dtype)
+    xyz = target.xyzi[:, :3]
+    mask = target.mask
+
+    mn, mx = masked_min_max(target)
+    min_b = jnp.floor(mn * inv_leaf).astype(jnp.int32)
+    max_b = jnp.floor(mx * inv_leaf).astype(jnp.int32)
+    div = max_b - min_b + 1
+    div_mul = jnp.stack([jnp.int32(1), div[0], div[0] * div[1]])
+
+    ijk = jnp.floor(xyz * inv_leaf).astype(jnp.int32) - min_b
+    vid = jnp.where(mask, jnp.sum(ijk * div_mul, axis=-1), _INT_MAX).astype(jnp.int32)
+
+    n = vid.shape[0]
+    sorted_vid = jnp.sort(vid)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
+    ) & (sorted_vid != _INT_MAX)
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    unique_ids = jnp.full((n,), _INT_MAX, jnp.int32)
+    unique_ids = unique_ids.at[jnp.where(first, pos, n)].set(sorted_vid, mode="drop")
+    slot = jnp.searchsorted(unique_ids, vid)
+    slot = jnp.minimum(slot, n - 1)
+
+    w = mask.astype(dtype)
+    p = jnp.where(mask[:, None], xyz, 0.0)
+    cnt = jax.ops.segment_sum(w, slot, num_segments=n)
+    sum_p = jax.ops.segment_sum(p * w[:, None], slot, num_segments=n)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    mean = sum_p / cnt_safe[:, None]
+
+    # Two-pass centered covariance. The reference accumulates raw second
+    # moments in double (``voxel_grid_covariance_omp_impl.hpp:233-237,
+    # 329-330``); in f32 that single-pass form cancels catastrophically for
+    # voxels tens of meters from the origin (x^2 ~ 1e3 vs variance ~ 1e-4),
+    # so we gather the mean back and accumulate centered outer products —
+    # algebraically equal to the reference's
+    # ((sum_pp - 2 sum_p mean^T)/n + mean mean^T) * (n-1)/n.
+    centered = jnp.where(mask[:, None], xyz - mean[slot], 0.0)
+    outer = centered[:, :, None] * centered[:, None, :]
+    sum_cc = jax.ops.segment_sum(outer, slot, num_segments=n)
+    cov = sum_cc * ((cnt_safe - 1.0) / (cnt_safe * cnt_safe))[:, None, None]
+
+    evals, evecs = eigh3(cov)
+    # cov is PSD by construction; small negative eigenvalues are pure f32
+    # roundoff (the reference accumulates in double and checks >= 0 strictly,
+    # ``voxel_grid_covariance_omp_impl.hpp:337-341``). Clamp roundoff-scale
+    # negatives to zero, reject genuinely indefinite results.
+    tol = 1e-5 * jnp.maximum(evals[:, 2], 0.0)
+    eig_ok = (evals[:, 0] >= -tol) & (evals[:, 1] >= -tol) & (evals[:, 2] > 0)
+    evals = jnp.maximum(evals, 0.0)
+
+    # Eq 6.11 inflation: eigenvalues below mult * lambda_max are raised.
+    min_ev = config.min_covar_eigvalue_mult * evals[:, 2]
+    needs = evals[:, 0] < min_ev
+    evals_inf = jnp.maximum(evals, min_ev[:, None])
+    cov_inf = jnp.einsum(
+        "vij,vj,vkj->vik", evecs, evals_inf, evecs, precision=_HP
+    )
+    cov = jnp.where(needs[:, None, None], cov_inf, cov)
+
+    icov, det = _inverse3(cov)
+    icov_ok = jnp.isfinite(icov).all(axis=(-1, -2)) & (jnp.abs(det) > 0)
+
+    valid = (
+        (cnt >= config.min_points_per_voxel)
+        & (unique_ids != _INT_MAX)
+        & eig_ok
+        & icov_ok
+    )
+    return NDTMap(
+        unique_ids=unique_ids,
+        mean=mean,
+        icov=jnp.where(valid[:, None, None], icov, 0.0),
+        valid=valid,
+        min_b=min_b,
+        div=div,
+        div_mul=div_mul,
+    )
+
+
+_OFFSETS = {
+    "DIRECT1": [(0, 0, 0)],
+    "DIRECT7": [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                (0, 0, 1), (0, 0, -1)],
+    "DIRECT27": [
+        (i, j, k) for i in (0, 1, -1) for j in (0, 1, -1) for k in (0, 1, -1)
+    ],
+}
+
+
+def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
+    """Gather neighbor voxel slots for each query point.
+
+    Equivalent of ``getNeighborhoodAtPoint{,7,1}``
+    (``voxel_grid_covariance_omp_impl.hpp:372-442``): displacement cells are
+    bounds-checked against the grid then looked up by linear id via binary
+    search in the sorted unique-id table.
+    """
+    dtype = query_xyz.dtype
+    inv_leaf = jnp.asarray(1.0 / resolution, dtype)
+    ijk = jnp.floor(query_xyz * inv_leaf).astype(jnp.int32) - ndt_map.min_b
+    off = jnp.asarray(offsets, jnp.int32)  # [K, 3]
+    nijk = ijk[:, None, :] + off[None, :, :]  # [N, K, 3]
+    in_bounds = jnp.all((nijk >= 0) & (nijk < ndt_map.div), axis=-1)
+    nvid = jnp.sum(nijk * ndt_map.div_mul, axis=-1)
+    nvid = jnp.where(in_bounds, nvid, _INT_MAX)
+    slot = jnp.searchsorted(ndt_map.unique_ids, nvid.reshape(-1)).reshape(nvid.shape)
+    slot = jnp.minimum(slot, ndt_map.unique_ids.shape[0] - 1)
+    found = (ndt_map.unique_ids[slot] == nvid) & in_bounds & ndt_map.valid[slot]
+    return slot, found
+
+
+def _angle_tables(p, dtype):
+    """Precomputed angular derivative tables (eqs. 6.19/6.21 [Magnusson 2009];
+    reference ``computeAngleDerivatives``, ``ndt_omp_impl.hpp:287-395``)."""
+    small = 10e-5
+
+    def cs(a):
+        c = jnp.where(jnp.abs(a) < small, 1.0, jnp.cos(a))
+        s = jnp.where(jnp.abs(a) < small, 0.0, jnp.sin(a))
+        return c, s
+
+    cx, sx = cs(p[3])
+    cy, sy = cs(p[4])
+    cz, sz = cs(p[5])
+
+    j = jnp.stack([
+        jnp.stack([-sx * sz + cx * sy * cz, -sx * cz - cx * sy * sz, -cx * cy]),  # a
+        jnp.stack([cx * sz + sx * sy * cz, cx * cz - sx * sy * sz, -sx * cy]),    # b
+        jnp.stack([-sy * cz, sy * sz, cy]),                                        # c
+        jnp.stack([sx * cy * cz, -sx * cy * sz, sx * sy]),                         # d
+        jnp.stack([-cx * cy * cz, cx * cy * sz, -cx * sy]),                        # e
+        jnp.stack([-cy * sz, -cy * cz, jnp.zeros_like(cx)]),                       # f
+        jnp.stack([cx * cz - sx * sy * sz, -cx * sz - sx * sy * cz,
+                   jnp.zeros_like(cx)]),                                           # g
+        jnp.stack([sx * cz + cx * sy * sz, cx * sy * cz - sx * sz,
+                   jnp.zeros_like(cx)]),                                           # h
+    ]).astype(dtype)  # [8, 3]
+
+    zero = jnp.zeros_like(cx)
+    h = jnp.stack([
+        jnp.stack([-cx * sz - sx * sy * cz, -cx * cz + sx * sy * sz, sx * cy]),   # a2
+        jnp.stack([-sx * sz + cx * sy * cz, -cx * sy * sz - sx * cz, -cx * cy]),  # a3
+        jnp.stack([cx * cy * cz, -cx * cy * sz, cx * sy]),                         # b2
+        jnp.stack([sx * cy * cz, -sx * cy * sz, sx * sy]),                         # b3
+        jnp.stack([-sx * cz - cx * sy * sz, sx * sz - cx * sy * cz, zero]),        # c2
+        jnp.stack([cx * cz - sx * sy * sz, -sx * sy * cz - cx * sz, zero]),        # c3
+        jnp.stack([-cy * cz, cy * sz, -sy]),                                       # d1 (sign fixed)
+        jnp.stack([-sx * sy * cz, sx * sy * sz, sx * cy]),                         # d2
+        jnp.stack([cx * sy * cz, -cx * sy * sz, -cx * cy]),                        # d3
+        jnp.stack([sy * sz, sy * cz, zero]),                                       # e1
+        jnp.stack([-sx * cy * sz, -sx * cy * cz, zero]),                           # e2
+        jnp.stack([cx * cy * sz, cx * cy * cz, zero]),                             # e3
+        jnp.stack([-cy * cz, cy * sz, zero]),                                      # f1
+        jnp.stack([-cx * sz - sx * sy * cz, -cx * cz + sx * sy * sz, zero]),       # f2
+        jnp.stack([-sx * sz + cx * sy * cz, -cx * sy * sz - sx * cz, zero]),       # f3
+    ]).astype(dtype)  # [15, 3]
+    return j, h
+
+
+def _point_jacobians(src_xyz, j_tab):
+    """Per-point rotation Jacobian block Jr [N, 3, 3] (eq. 6.18/6.19).
+
+    Columns are d(T x)/d(roll, pitch, yaw); the translation block is identity
+    and handled implicitly. Row layout mirrors ``computePointDerivatives``
+    (``ndt_omp_impl.hpp:444-455``).
+    """
+    xj = jnp.einsum("ni,ki->nk", src_xyz, j_tab, precision=_HP)  # [N, 8]
+    zero = jnp.zeros_like(xj[:, 0])
+    col_roll = jnp.stack([zero, xj[:, 0], xj[:, 1]], -1)
+    col_pitch = jnp.stack([xj[:, 2], xj[:, 3], xj[:, 4]], -1)
+    col_yaw = jnp.stack([xj[:, 5], xj[:, 6], xj[:, 7]], -1)
+    return jnp.stack([col_roll, col_pitch, col_yaw], -1)  # [N, 3, 3]
+
+
+def _point_hessians(src_xyz, h_tab):
+    """Per-point rotation Hessian blocks Hrr [N, 3, 3, 3] (eq. 6.20/6.21).
+
+    Hrr[n, a, b] is the 3-vector second derivative of T(x_n) w.r.t. rotation
+    params a, b. Mirrors the a..f vectors of ``computePointDerivatives``
+    (``ndt_omp_impl.hpp:457-480``); symmetric in (a, b).
+    """
+    xh = jnp.einsum("ni,ki->nk", src_xyz, h_tab, precision=_HP)  # [N, 15]
+    zero = jnp.zeros_like(xh[:, 0])
+    a = jnp.stack([zero, xh[:, 0], xh[:, 1]], -1)
+    b = jnp.stack([zero, xh[:, 2], xh[:, 3]], -1)
+    c = jnp.stack([zero, xh[:, 4], xh[:, 5]], -1)
+    d = jnp.stack([xh[:, 6], xh[:, 7], xh[:, 8]], -1)
+    e = jnp.stack([xh[:, 9], xh[:, 10], xh[:, 11]], -1)
+    f = jnp.stack([xh[:, 12], xh[:, 13], xh[:, 14]], -1)
+    row0 = jnp.stack([a, b, c], -2)
+    row1 = jnp.stack([b, d, e], -2)
+    row2 = jnp.stack([c, e, f], -2)
+    return jnp.stack([row0, row1, row2], -3)  # [N, 3(a), 3(b), 3(vec)]
+
+
+def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
+                        resolution, offsets, compute_hessian: bool = True):
+    """Score, gradient and Hessian of the NDT objective at chart point p.
+
+    Fused equivalent of the reference's OpenMP hot loop
+    (``computeDerivatives``, ``ndt_omp_impl.hpp:178-285`` +
+    ``updateDerivatives`` ``:483-537``), vectorized over
+    [points x neighbors] and reduced with MXU contractions.
+    """
+    dtype = src_xyz.dtype
+    T = se3.pose6_to_matrix(p)
+    trans = jnp.matmul(src_xyz, T[:3, :3].T, precision=_HP) + T[:3, 3]
+
+    slot, found = lookup_neighbors(ndt_map, trans, resolution, offsets)
+    mean = ndt_map.mean[slot]  # [N, K, 3]
+    icov = ndt_map.icov[slot]  # [N, K, 3, 3]
+
+    q = trans[:, None, :] - mean  # [N, K, 3]
+    Cq = jnp.einsum("nkij,nkj->nki", icov, q, precision=_HP)
+    qCq = jnp.sum(q * Cq, axis=-1)  # [N, K]
+
+    e = jnp.exp(-0.5 * d2 * qCq)
+    e_x_cov_x = d2 * e
+    # NaN/invalid guard (``ndt_omp_impl.hpp:506-507``)
+    gate = (
+        (e_x_cov_x <= 1.0)
+        & (e_x_cov_x >= 0.0)
+        & jnp.isfinite(e_x_cov_x)
+        & found
+        & src_mask[:, None]
+    ).astype(dtype)
+
+    score = jnp.sum(-d1 * e * gate)
+    factor = d1 * d2 * e * gate  # [N, K]
+
+    j_tab, h_tab = _angle_tables(p, dtype)
+    Jr = _point_jacobians(src_xyz, j_tab)  # [N, 3, 3]
+
+    # u = q^T C J over the 6 chart dims: translation block is Cq itself.
+    u_rot = jnp.einsum("nki,nij->nkj", Cq, Jr, precision=_HP)  # [N, K, 3]
+    u = jnp.concatenate([Cq, u_rot], axis=-1)  # [N, K, 6]
+
+    grad = jnp.einsum("nk,nki->i", factor, u, precision=_HP)
+
+    if not compute_hessian:
+        return score, grad, None
+
+    Hrr = _point_hessians(src_xyz, h_tab)  # [N, 3, 3, 3]
+
+    # term1 = -d2 * sum factor * u u^T   (first part of eq. 6.13)
+    h1 = -d2 * jnp.einsum("nk,nki,nkj->ij", factor, u, u, precision=_HP)
+
+    # term2 = sum factor * q^T C H_ij  (nonzero only in the rot-rot block)
+    fCq = jnp.einsum("nk,nki->ni", factor, Cq, precision=_HP)  # [N, 3]
+    h2_rr = jnp.einsum("ni,nabi->ab", fCq, Hrr, precision=_HP)  # [3, 3]
+
+    # term3 = sum factor * J^T C J with J = [I | Jr]
+    fC = jnp.einsum("nk,nkij->nij", factor, icov, precision=_HP)  # [N, 3, 3]
+    h3_tt = jnp.sum(fC, axis=0)
+    h3_tr = jnp.einsum("nij,njm->im", fC, Jr, precision=_HP)
+    h3_rr = jnp.einsum("nia,nij,njb->ab", Jr, fC, Jr, precision=_HP)
+
+    top = jnp.concatenate([h3_tt, h3_tr], axis=1)
+    bottom = jnp.concatenate([h3_tr.T, h3_rr + h2_rr], axis=1)
+    hess = h1 + jnp.concatenate([top, bottom], axis=0)
+    return score, grad, hess
+
+
+# ----------------------------------------------------------------------------
+# More-Thuente line search (More & Thuente 1994; reference
+# ``ndt_omp_impl.hpp:647-932``) as branch-free jittable scalar logic.
+# ----------------------------------------------------------------------------
+
+
+def _trial_value_selection(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """Four-case trial value selection (``trialValueSelectionMT``,
+    ``ndt_omp_impl.hpp:689-769``), Sun & Yuan 2006 interpolants."""
+
+    def cubic_min(a_lo, f_lo, g_lo, a_hi, f_hi, g_hi):
+        z = 3.0 * (f_hi - f_lo) / _safe(a_hi - a_lo) - g_hi - g_lo
+        w = jnp.sqrt(jnp.maximum(z * z - g_hi * g_lo, 0.0))
+        return a_lo + (a_hi - a_lo) * (w - g_lo - z) / _safe(g_hi - g_lo + 2.0 * w)
+
+    def _safe(x):
+        return jnp.where(x == 0, jnp.finfo(x.dtype).tiny, x)
+
+    # Case 1: f_t > f_l
+    a_c1 = cubic_min(a_l, f_l, g_l, a_t, f_t, g_t)
+    a_q = a_l - 0.5 * (a_l - a_t) * g_l / _safe(
+        g_l - (f_l - f_t) / _safe(a_l - a_t)
+    )
+    case1 = jnp.where(
+        jnp.abs(a_c1 - a_l) < jnp.abs(a_q - a_l), a_c1, 0.5 * (a_q + a_c1)
+    )
+
+    # Case 2: g_t * g_l < 0
+    a_c2 = cubic_min(a_l, f_l, g_l, a_t, f_t, g_t)
+    a_s = a_l - (a_l - a_t) / _safe(g_l - g_t) * g_l
+    case2 = jnp.where(jnp.abs(a_c2 - a_t) >= jnp.abs(a_s - a_t), a_c2, a_s)
+
+    # Case 3: |g_t| <= |g_l|
+    a_c3 = cubic_min(a_l, f_l, g_l, a_t, f_t, g_t)
+    a_t_next = jnp.where(jnp.abs(a_c3 - a_t) < jnp.abs(a_s - a_t), a_c3, a_s)
+    case3 = jnp.where(
+        a_t > a_l,
+        jnp.minimum(a_t + 0.66 * (a_u - a_t), a_t_next),
+        jnp.maximum(a_t + 0.66 * (a_u - a_t), a_t_next),
+    )
+
+    # Case 4: otherwise — cubic through (a_u, a_t)
+    case4 = cubic_min(a_u, f_u, g_u, a_t, f_t, g_t)
+
+    return jnp.where(
+        f_t > f_l,
+        case1,
+        jnp.where(
+            g_t * g_l < 0,
+            case2,
+            jnp.where(jnp.abs(g_t) <= jnp.abs(g_l), case3, case4),
+        ),
+    )
+
+
+def _update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """Interval update (``updateIntervalMT``, ``ndt_omp_impl.hpp:648-686``).
+    Returns new endpoints + converged flag."""
+    case_u1 = f_t > f_l
+    case_u2 = (~case_u1) & (g_t * (a_l - a_t) > 0)
+    case_u3 = (~case_u1) & (g_t * (a_l - a_t) < 0)
+    converged = (~case_u1) & (~case_u2) & (~case_u3)
+
+    new_a_u = jnp.where(case_u1, a_t, jnp.where(case_u3, a_l, a_u))
+    new_f_u = jnp.where(case_u1, f_t, jnp.where(case_u3, f_l, f_u))
+    new_g_u = jnp.where(case_u1, g_t, jnp.where(case_u3, g_l, g_u))
+    move_l = case_u2 | case_u3
+    new_a_l = jnp.where(move_l, a_t, a_l)
+    new_f_l = jnp.where(move_l, f_t, f_l)
+    new_g_l = jnp.where(move_l, g_t, g_l)
+    return new_a_l, new_f_l, new_g_l, new_a_u, new_f_u, new_g_u, converged
+
+
+def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
+              config: NDTConfig = NDTConfig()) -> NDTResult:
+    """Align source to the map: Newton on the 6-dof Euler chart with
+    More-Thuente step control, one compiled program.
+
+    Mirrors ``computeTransformation`` (``ndt_omp_impl.hpp:80-171``) and
+    ``computeStepLengthMT`` (``:772-932``).
+    """
+    dtype = source.xyzi.dtype
+    src_xyz = source.xyzi[:, :3]
+    src_mask = source.mask
+    n_src = jnp.maximum(jnp.sum(src_mask.astype(dtype)), 1.0)
+
+    d1, d2, _d3 = gauss_coefficients(config.resolution, config.outlier_ratio, dtype)
+    offsets = _OFFSETS[config.search_method]
+
+    if guess is None:
+        guess = jnp.eye(4, dtype=dtype)
+
+    p0 = se3.matrix_to_pose6(guess.astype(dtype))
+
+    def derivs(p):
+        return compute_derivatives(
+            ndt_map, src_xyz, src_mask, p, d1, d2, config.resolution, offsets
+        )
+
+    step_max = jnp.asarray(config.step_size, dtype)
+    step_min = jnp.asarray(config.transformation_epsilon / 2.0, dtype)
+    mu = jnp.asarray(1.0e-4, dtype)
+    nu = jnp.asarray(0.9, dtype)
+
+    def line_search(p, step_dir, step_init, score, grad, hess):
+        """More-Thuente; returns (a_t, p_new, score, grad, hess)."""
+        phi_0 = -score
+        d_phi_0 = -jnp.dot(grad, step_dir)
+        # Reverse direction if not a descent direction
+        reverse = d_phi_0 > 0
+        step_dir = jnp.where(reverse, -step_dir, step_dir)
+        d_phi_0 = jnp.where(reverse, -d_phi_0, d_phi_0)
+        zero_dir = d_phi_0 == 0
+
+        def psi(a, phi_a):
+            return phi_a - phi_0 - mu * d_phi_0 * a
+
+        def dpsi(d_phi_a):
+            return d_phi_a - mu * d_phi_0
+
+        a_t0 = jnp.clip(step_init, step_min, step_max)
+        p_t0 = p + step_dir * a_t0
+        score_t, grad_t, hess_t = derivs(p_t0)
+        phi_t = -score_t
+        d_phi_t = -jnp.dot(grad_t, step_dir)
+        psi_t = psi(a_t0, phi_t)
+        d_psi_t = dpsi(d_phi_t)
+
+        f_l0 = jnp.zeros((), dtype)  # psi(0) = 0
+        g_l0 = (1.0 - mu) * d_phi_0  # dpsi(0) = d_phi_0 - mu*d_phi_0
+        state0 = dict(
+            a_l=jnp.zeros((), dtype), f_l=f_l0, g_l=g_l0,
+            a_u=jnp.zeros((), dtype), f_u=f_l0, g_u=g_l0,
+            a_t=a_t0, phi_t=phi_t, d_phi_t=d_phi_t, psi_t=psi_t,
+            d_psi_t=d_psi_t, open=jnp.asarray(True),
+            interval_converged=jnp.asarray(False),
+            it=jnp.zeros((), jnp.int32),
+            score=score_t, grad=grad_t, hess=hess_t,
+        )
+
+        def cond(s):
+            sufficient = (s["psi_t"] <= 0) & (s["d_phi_t"] <= -nu * d_phi_0)
+            return (
+                (~s["interval_converged"])
+                & (s["it"] < config.max_step_iterations)
+                & (~sufficient)
+                & (~zero_dir)
+            )
+
+        def body(s):
+            f_t_sel = jnp.where(s["open"], s["psi_t"], s["phi_t"])
+            g_t_sel = jnp.where(s["open"], s["d_psi_t"], s["d_phi_t"])
+            a_t = _trial_value_selection(
+                s["a_l"], s["f_l"], s["g_l"], s["a_u"], s["f_u"], s["g_u"],
+                s["a_t"], f_t_sel, g_t_sel,
+            )
+            a_t = jnp.clip(a_t, step_min, step_max)
+            p_t = p + step_dir * a_t
+            score_t, grad_t, hess_t = derivs(p_t)
+            phi_t = -score_t
+            d_phi_t = -jnp.dot(grad_t, step_dir)
+            psi_t = psi(a_t, phi_t)
+            d_psi_t = dpsi(d_phi_t)
+
+            closing = s["open"] & (psi_t <= 0) & (d_psi_t >= 0)
+            open_new = s["open"] & (~closing)
+            # psi -> phi endpoint conversion on close (``:894-905``)
+            f_l = jnp.where(closing, s["f_l"] + phi_0 - mu * d_phi_0 * s["a_l"], s["f_l"])
+            g_l = jnp.where(closing, s["g_l"] + mu * d_phi_0, s["g_l"])
+            f_u = jnp.where(closing, s["f_u"] + phi_0 - mu * d_phi_0 * s["a_u"], s["f_u"])
+            g_u = jnp.where(closing, s["g_u"] + mu * d_phi_0, s["g_u"])
+
+            f_t_upd = jnp.where(open_new, psi_t, phi_t)
+            g_t_upd = jnp.where(open_new, d_psi_t, d_phi_t)
+            a_l2, f_l2, g_l2, a_u2, f_u2, g_u2, iconv = _update_interval(
+                s["a_l"], f_l, g_l, s["a_u"], f_u, g_u, a_t, f_t_upd, g_t_upd
+            )
+            return dict(
+                a_l=a_l2, f_l=f_l2, g_l=g_l2, a_u=a_u2, f_u=f_u2, g_u=g_u2,
+                a_t=a_t, phi_t=phi_t, d_phi_t=d_phi_t, psi_t=psi_t,
+                d_psi_t=d_psi_t, open=open_new, interval_converged=iconv,
+                it=s["it"] + 1, score=score_t, grad=grad_t, hess=hess_t,
+            )
+
+        s = jax.lax.while_loop(cond, body, state0)
+        a_final = jnp.where(zero_dir, 0.0, s["a_t"])
+        p_new = p + step_dir * a_final
+        return (
+            a_final,
+            p_new,
+            jnp.where(zero_dir, score, s["score"]),
+            jnp.where(zero_dir, grad, s["grad"]),
+            jnp.where(zero_dir, hess, s["hess"]),
+        )
+
+    score0, grad0, hess0 = derivs(p0)
+
+    def newton_cond(carry):
+        return ~carry["converged"]
+
+    def newton_body(carry):
+        p, score, grad, hess = carry["p"], carry["score"], carry["grad"], carry["hess"]
+        delta_p = se3.svd_solve(hess, -grad)
+        norm = jnp.linalg.norm(delta_p)
+        degenerate = (norm == 0) | ~jnp.isfinite(norm)
+
+        step_dir = delta_p / jnp.where(degenerate, 1.0, norm)
+        a_t, p_new, score_n, grad_n, hess_n = line_search(
+            p, step_dir, norm, score, grad, hess
+        )
+
+        p_out = jnp.where(degenerate, p, p_new)
+        score_out = jnp.where(degenerate, score, score_n)
+        grad_out = jnp.where(degenerate, grad, grad_n)
+        hess_out = jnp.where(degenerate, hess, hess_n)
+        it = carry["it"]
+        # Reference check order (``ndt_omp_impl.hpp:158-162``): with the
+        # pre-increment count, so the eps test is skipped on iteration 0.
+        converged = degenerate | (it > config.max_iterations) | (
+            (it >= 1) & (jnp.abs(a_t) < config.transformation_epsilon)
+        )
+        # NaN norm means failure (reference returns converged_=false)
+        failed = ~jnp.isfinite(norm)
+        return dict(
+            p=p_out, score=score_out, grad=grad_out, hess=hess_out,
+            it=it + 1, converged=converged, failed=carry["failed"] | failed,
+        )
+
+    carry = jax.lax.while_loop(
+        newton_cond,
+        newton_body,
+        dict(
+            p=p0, score=score0, grad=grad0, hess=hess0,
+            it=jnp.zeros((), jnp.int32), converged=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        ),
+    )
+
+    T = se3.pose6_to_matrix(carry["p"])
+    return NDTResult(
+        transform=T,
+        converged=~carry["failed"],
+        iterations=carry["it"],
+        trans_probability=carry["score"] / n_src,
+        pose6=carry["p"],
+    )
+
+
+def fitness_score(source: PointCloud, target: PointCloud, transform,
+                  max_range: float = jnp.inf, chunk: int = 2048):
+    """Mean squared nearest-neighbor distance (pcl::Registration::
+    getFitnessScore semantics) via chunked brute-force distances on the MXU."""
+    dtype = source.xyzi.dtype
+    src = jnp.matmul(
+        source.xyzi[:, :3], transform[:3, :3].T, precision=_HP
+    ) + transform[:3, 3]
+    tgt = target.xyzi[:, :3]
+    tgt_sq = jnp.sum(tgt * tgt, axis=1)
+    big = jnp.asarray(1e30, dtype)
+    tgt_sq = jnp.where(target.mask, tgt_sq, big)
+
+    n = src.shape[0]
+    pad = (-n) % chunk
+    src_p = jnp.pad(src, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(source.mask, (0, pad))
+
+    def one_chunk(s):
+        d = (
+            jnp.sum(s * s, axis=1)[:, None]
+            - 2.0 * jnp.matmul(s, tgt.T, precision=_HP)
+            + tgt_sq[None, :]
+        )
+        return jnp.min(d, axis=1)
+
+    dists = jax.lax.map(one_chunk, src_p.reshape(-1, chunk, 3)).reshape(-1)
+    dists = jnp.maximum(dists, 0.0)
+    use = mask_p & (dists <= max_range * max_range)
+    cnt = jnp.maximum(jnp.sum(use.astype(dtype)), 1.0)
+    return jnp.sum(jnp.where(use, dists, 0.0)) / cnt
