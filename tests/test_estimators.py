@@ -1,0 +1,165 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.core import se3
+from toyslam_tpu.estimators import eskf, trilateration, preintegration
+from toyslam_tpu.sim import trajectories, sensors
+
+
+def _circular_log(T=4000, hz=200.0, meas_every=10, noise=True, seed=0):
+    """Closed-loop sim: circular motion (uwb_imu_sim_node defaults)."""
+    key = jax.random.PRNGKey(seed)
+    k_imu, k_uwb = jax.random.split(key)
+    dt = 1.0 / hz
+    t = (jnp.arange(T, dtype=jnp.float64) + 1) * dt
+    traj = trajectories.circle(t, radius=3.0, omega=0.5)
+
+    params = sensors.ImuSimParams() if noise else sensors.ImuSimParams(
+        accel_noise_std=0.0, gyro_noise_std=0.0,
+        accel_bias=(0, 0, 0), gyro_bias=(0, 0, 0))
+    acc, gyro = sensors.simulate_imu(k_imu, traj, params)
+    meas_valid = (jnp.arange(T) % meas_every) == 0
+    noise_std = 0.05 if noise else 0.0
+    meas = traj["pos"] + noise_std * jax.random.normal(k_uwb, (T, 3), jnp.float64)
+    log = eskf.ESKFLog(
+        dt=jnp.full((T,), dt, jnp.float64),
+        acc=acc, gyro=gyro, meas=meas, meas_valid=meas_valid,
+    )
+    return log, traj
+
+
+def test_eskf_tracks_circular_motion():
+    log, traj = _circular_log(T=4000, noise=True)
+    # start at the true initial state
+    state = eskf.init_state(jnp.float64)
+    t0_traj = trajectories.circle(jnp.zeros((), jnp.float64), radius=3.0, omega=0.5)
+    state = state._replace(
+        p=jnp.asarray(t0_traj["pos"], jnp.float64),
+        v=jnp.asarray(t0_traj["vel"], jnp.float64),
+        q=jnp.asarray(t0_traj["quat"], jnp.float64),
+    )
+    params = eskf.ESKFParams(meas_noise=0.05**2)
+    final, out = jax.jit(eskf.eskf_run, static_argnums=())(log, state, params)
+
+    err = np.linalg.norm(np.asarray(out["p"]) - np.asarray(traj["pos"]), axis=1)
+    rmse = np.sqrt(np.mean(err[200:] ** 2))
+    assert rmse < 0.08, f"ESKF position RMSE {rmse}"
+    # velocity should track too
+    verr = np.linalg.norm(np.asarray(out["v"]) - np.asarray(traj["vel"]), axis=1)
+    assert np.sqrt(np.mean(verr[200:] ** 2)) < 0.3
+
+
+def test_eskf_predict_noiseless_dead_reckoning():
+    log, traj = _circular_log(T=400, noise=False)
+    state = eskf.init_state(jnp.float64)
+    t0_traj = trajectories.circle(jnp.zeros((), jnp.float64), radius=3.0, omega=0.5)
+    state = state._replace(
+        p=jnp.asarray(t0_traj["pos"], jnp.float64),
+        v=jnp.asarray(t0_traj["vel"], jnp.float64),
+        q=jnp.asarray(t0_traj["quat"], jnp.float64),
+    )
+    # no measurements at all: pure IMU integration for 2 s
+    log = log._replace(meas_valid=jnp.zeros_like(log.meas_valid))
+    _, out = eskf.eskf_run(log, state)
+    err = np.linalg.norm(np.asarray(out["p"][-1]) - np.asarray(traj["pos"][-1]))
+    assert err < 0.05, f"dead-reckoning drift {err} after 2s"
+
+
+def test_trilateration_recovers_positions(rng):
+    anchors = jnp.asarray(sensors.DEFAULT_BEACONS, jnp.float64)
+    # keep targets below the beacon plane (z = 2); with beacons nearly
+    # coplanar the mirror solution above the plane is a genuine second
+    # basin, which the reference avoids by warm-starting (uwb_node.cpp:221).
+    true_pos = jnp.asarray(rng.uniform(-3, 3, (50, 3)) * [1, 1, 0.15]
+                           + [0, 0, 1.0])
+    key = jax.random.PRNGKey(1)
+    ranges = sensors.simulate_uwb_ranges(key, true_pos, anchors, noise_std=0.0)
+    pos, rms = trilateration.solve_positions_batch(
+        ranges, anchors, jnp.asarray([0.0, 0.0, 1.0], jnp.float64)
+    )
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(true_pos), atol=1e-6)
+    assert np.asarray(rms).max() < 1e-8
+
+    # with noise: error bounded by geometry
+    ranges_n = sensors.simulate_uwb_ranges(key, true_pos, anchors, noise_std=0.05)
+    pos_n, _ = trilateration.solve_positions_batch(
+        ranges_n, anchors, jnp.asarray([0.0, 0.0, 1.0], jnp.float64)
+    )
+    err = np.linalg.norm(np.asarray(pos_n) - np.asarray(true_pos), axis=1)
+    assert np.median(err) < 0.2
+
+
+def test_preintegration_matches_direct_integration():
+    """Noiseless gyro+acc: preintegrated deltas must equal closed-form motion."""
+    T = 200
+    dt = 0.005
+    t = (np.arange(T) + 1) * dt
+    omega = np.array([0.0, 0.0, 0.3])
+    acc_body = np.tile(np.array([0.2, 0.0, 0.0]), (T, 1))
+    gyro = np.tile(omega, (T, 1))
+
+    pre = preintegration.preintegrate(
+        jnp.asarray(acc_body, jnp.float64), jnp.asarray(gyro, jnp.float64),
+        jnp.full((T,), dt, jnp.float64),
+        jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64),
+    )
+    # Golden: integrate numerically at fine resolution
+    q = np.array([1.0, 0, 0, 0])
+    v = np.zeros(3)
+    p = np.zeros(3)
+    from scipy.spatial.transform import Rotation
+
+    for i in range(T):
+        R0 = Rotation.from_quat(np.roll(q, -1)).as_matrix()
+        dq = Rotation.from_rotvec(omega * dt)
+        q_new = (Rotation.from_quat(np.roll(q, -1)) * dq).as_quat()
+        R_half = (Rotation.from_quat(np.roll(q, -1)) *
+                  Rotation.from_rotvec(omega * dt / 2)).as_matrix()
+        a = R_half @ acc_body[i]
+        v_new = v + a * dt
+        p = p + (v + 0.5 * a * dt) * dt
+        v = v_new
+        q = np.roll(q_new, 1)
+
+    np.testing.assert_allclose(np.asarray(pre.delta_v), v, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pre.delta_p), p, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pre.delta_q), q, atol=1e-7)
+    assert abs(float(pre.sum_dt) - T * dt) < 1e-9
+    # covariance PSD and grows with time
+    evals = np.linalg.eigvalsh(np.asarray(pre.covariance))
+    assert evals.min() >= 0
+
+
+def test_preintegration_bias_jacobian():
+    """First-order bias correction must match re-integration with new bias."""
+    T = 100
+    dt = 0.005
+    rng = np.random.default_rng(3)
+    acc = jnp.asarray(rng.normal(0, 1, (T, 3)) + [0, 0, 9.81], jnp.float64)
+    gyro = jnp.asarray(rng.normal(0, 0.3, (T, 3)), jnp.float64)
+    dts = jnp.full((T,), dt, jnp.float64)
+    zb = jnp.zeros(3, jnp.float64)
+
+    pre0 = preintegration.preintegrate(acc, gyro, dts, zb, zb)
+    dba = jnp.asarray([0.01, -0.02, 0.005], jnp.float64)
+    dbg = jnp.asarray([0.002, 0.001, -0.003], jnp.float64)
+    # Oracle 1: autodiff of the integration itself.
+    def f(b):
+        pre = preintegration.preintegrate(acc, gyro, dts, b[:3], b[3:])
+        return jnp.concatenate([pre.delta_p, pre.delta_v])
+
+    J_ad = np.asarray(jax.jacobian(f)(jnp.zeros(6, jnp.float64)))
+    J_an = np.asarray(pre0.jacobian_bias)[:6]
+    np.testing.assert_allclose(J_an, J_ad, atol=5e-4)
+
+    # Oracle 2: re-integration with the changed bias vs first-order predict.
+    pre1 = preintegration.preintegrate(acc, gyro, dts, dba, dbg)
+    pred = preintegration.correct_for_bias_change(pre0, dba, dbg)
+    np.testing.assert_allclose(
+        np.asarray(pred.delta_p), np.asarray(pre1.delta_p), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(pred.delta_v), np.asarray(pre1.delta_v), atol=5e-4)
+    q_err = se3.quat_multiply(
+        se3.quat_conjugate(pred.delta_q), pre1.delta_q)
+    assert abs(float(q_err[0])) > 1.0 - 1e-5  # rotations agree to ~1e-3 rad

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from toyslam_tpu.core import se3
 from toyslam_tpu.core.pointcloud import PointCloud, masked_min_max
-from toyslam_tpu.ops.eigh3 import eigh3
+from toyslam_tpu.ops.eigh3 import eigh3_soa
 
 _HP = jax.lax.Precision.HIGHEST
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -54,18 +54,43 @@ class NDTConfig(NamedTuple):
     search_method: str = "DIRECT7"  # DIRECT7 | DIRECT1 | DIRECT27
     max_step_iterations: int = 10
     min_covar_eigvalue_mult: float = 0.01
+    # Static capacity of the dense voxel-id -> slot lookup table. Grids
+    # larger than this lose voxels beyond the cap (masked out); 2^20 cells
+    # covers e.g. 100m x 100m x 100m at 1m resolution.
+    grid_capacity: int = 1 << 20
 
 
 class NDTMap(NamedTuple):
-    """Voxel-Gaussian map: sorted unique voxel ids + per-voxel statistics."""
+    """Voxel-Gaussian map: sorted unique voxel ids + per-voxel statistics.
+
+    ``lut`` is a dense linear-voxel-id -> slot table (-1 = empty/invalid):
+    neighbor lookup is a single gather instead of a binary search. ``mean3``/
+    ``icov6`` are structure-of-arrays copies ([3, V] / [6, V] with the
+    symmetric components xx, xy, xz, yy, yz, zz) so the hot derivative kernel
+    gathers clean 1D lanes instead of padding [., 3, 3] tiles.
+    """
 
     unique_ids: jax.Array  # [V] int32, sorted, INT32_MAX padded
-    mean: jax.Array  # [V, 3]
-    icov: jax.Array  # [V, 3, 3]
     valid: jax.Array  # [V] bool
     min_b: jax.Array  # [3] int32
     div: jax.Array  # [3] int32
     div_mul: jax.Array  # [3] int32
+    lut: jax.Array  # [grid_capacity] int32 slot index or -1
+    mean3: jax.Array  # [3, V]
+    icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
+
+    @property
+    def mean(self):
+        """AoS view [V, 3] (test/debug convenience; materializes padding)."""
+        return self.mean3.T
+
+    @property
+    def icov(self):
+        """AoS view [V, 3, 3] (test/debug convenience)."""
+        xx, xy, xz, yy, yz, zz = self.icov6
+        return jnp.stack(
+            [jnp.stack([xx, xy, xz], -1), jnp.stack([xy, yy, yz], -1),
+             jnp.stack([xz, yz, zz], -1)], -2)
 
 
 class NDTResult(NamedTuple):
@@ -144,44 +169,79 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     slot = jnp.minimum(slot, n - 1)
 
     w = mask.astype(dtype)
-    p = jnp.where(mask[:, None], xyz, 0.0)
+    px = jnp.where(mask, xyz[:, 0], 0.0)
+    py = jnp.where(mask, xyz[:, 1], 0.0)
+    pz = jnp.where(mask, xyz[:, 2], 0.0)
     cnt = jax.ops.segment_sum(w, slot, num_segments=n)
-    sum_p = jax.ops.segment_sum(p * w[:, None], slot, num_segments=n)
     cnt_safe = jnp.maximum(cnt, 1.0)
-    mean = sum_p / cnt_safe[:, None]
+    seg = lambda v: jax.ops.segment_sum(v, slot, num_segments=n)
+    mean_x = seg(px) / cnt_safe
+    mean_y = seg(py) / cnt_safe
+    mean_z = seg(pz) / cnt_safe
 
-    # Two-pass centered covariance. The reference accumulates raw second
-    # moments in double (``voxel_grid_covariance_omp_impl.hpp:233-237,
-    # 329-330``); in f32 that single-pass form cancels catastrophically for
-    # voxels tens of meters from the origin (x^2 ~ 1e3 vs variance ~ 1e-4),
-    # so we gather the mean back and accumulate centered outer products —
-    # algebraically equal to the reference's
+    # Two-pass centered covariance, in symmetric component form. The
+    # reference accumulates raw second moments in double
+    # (``voxel_grid_covariance_omp_impl.hpp:233-237,329-330``); in f32 that
+    # single-pass form cancels catastrophically for voxels tens of meters
+    # from the origin, so we gather the mean back and accumulate centered
+    # products — algebraically equal to the reference's
     # ((sum_pp - 2 sum_p mean^T)/n + mean mean^T) * (n-1)/n.
-    centered = jnp.where(mask[:, None], xyz - mean[slot], 0.0)
-    outer = centered[:, :, None] * centered[:, None, :]
-    sum_cc = jax.ops.segment_sum(outer, slot, num_segments=n)
-    cov = sum_cc * ((cnt_safe - 1.0) / (cnt_safe * cnt_safe))[:, None, None]
+    cx = jnp.where(mask, xyz[:, 0] - mean_x[slot], 0.0)
+    cy = jnp.where(mask, xyz[:, 1] - mean_y[slot], 0.0)
+    cz = jnp.where(mask, xyz[:, 2] - mean_z[slot], 0.0)
+    corr = (cnt_safe - 1.0) / (cnt_safe * cnt_safe)
+    v00 = seg(cx * cx) * corr
+    v01 = seg(cx * cy) * corr
+    v02 = seg(cx * cz) * corr
+    v11 = seg(cy * cy) * corr
+    v12 = seg(cy * cz) * corr
+    v22 = seg(cz * cz) * corr
 
-    evals, evecs = eigh3(cov)
+    (l0, l1, l2), vec = eigh3_soa(v00, v01, v02, v11, v12, v22)
     # cov is PSD by construction; small negative eigenvalues are pure f32
     # roundoff (the reference accumulates in double and checks >= 0 strictly,
     # ``voxel_grid_covariance_omp_impl.hpp:337-341``). Clamp roundoff-scale
     # negatives to zero, reject genuinely indefinite results.
-    tol = 1e-5 * jnp.maximum(evals[:, 2], 0.0)
-    eig_ok = (evals[:, 0] >= -tol) & (evals[:, 1] >= -tol) & (evals[:, 2] > 0)
-    evals = jnp.maximum(evals, 0.0)
+    tol = 1e-5 * jnp.maximum(l2, 0.0)
+    eig_ok = (l0 >= -tol) & (l1 >= -tol) & (l2 > 0)
+    l0 = jnp.maximum(l0, 0.0)
+    l1 = jnp.maximum(l1, 0.0)
 
-    # Eq 6.11 inflation: eigenvalues below mult * lambda_max are raised.
-    min_ev = config.min_covar_eigvalue_mult * evals[:, 2]
-    needs = evals[:, 0] < min_ev
-    evals_inf = jnp.maximum(evals, min_ev[:, None])
-    cov_inf = jnp.einsum(
-        "vij,vj,vkj->vik", evecs, evals_inf, evecs, precision=_HP
-    )
-    cov = jnp.where(needs[:, None, None], cov_inf, cov)
+    # Eq 6.11 inflation: eigenvalues below mult * lambda_max are raised,
+    # covariance recomposed as V diag V^T (component form).
+    min_ev = config.min_covar_eigvalue_mult * l2
+    needs = l0 < min_ev
+    li0 = jnp.maximum(l0, min_ev)
+    li1 = jnp.maximum(l1, min_ev)
 
-    icov, det = _inverse3(cov)
-    icov_ok = jnp.isfinite(icov).all(axis=(-1, -2)) & (jnp.abs(det) > 0)
+    def recompose(i, j):
+        # sum_k lambda_k v_ik v_jk ; vec is row-major v[i*3+j] = V[i][j]
+        return (li0 * vec[i * 3 + 0] * vec[j * 3 + 0]
+                + li1 * vec[i * 3 + 1] * vec[j * 3 + 1]
+                + l2 * vec[i * 3 + 2] * vec[j * 3 + 2])
+
+    v00 = jnp.where(needs, recompose(0, 0), v00)
+    v01 = jnp.where(needs, recompose(0, 1), v01)
+    v02 = jnp.where(needs, recompose(0, 2), v02)
+    v11 = jnp.where(needs, recompose(1, 1), v11)
+    v12 = jnp.where(needs, recompose(1, 2), v12)
+    v22 = jnp.where(needs, recompose(2, 2), v22)
+
+    # Closed-form symmetric 3x3 inverse (adjugate / det).
+    A = v11 * v22 - v12 * v12
+    B = -(v01 * v22 - v12 * v02)
+    C = v01 * v12 - v11 * v02
+    det = v00 * A + v01 * B + v02 * C
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    i00 = A * inv_det
+    i01 = B * inv_det
+    i02 = C * inv_det
+    i11 = (v00 * v22 - v02 * v02) * inv_det
+    i12 = -(v00 * v12 - v01 * v02) * inv_det
+    i22 = (v00 * v11 - v01 * v01) * inv_det
+    icov_fin = (jnp.isfinite(i00) & jnp.isfinite(i01) & jnp.isfinite(i02)
+                & jnp.isfinite(i11) & jnp.isfinite(i12) & jnp.isfinite(i22))
+    icov_ok = icov_fin & (jnp.abs(det) > 0)
 
     valid = (
         (cnt >= config.min_points_per_voxel)
@@ -189,14 +249,31 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         & eig_ok
         & icov_ok
     )
+    vw = valid.astype(dtype)
+    icov6 = jnp.stack([i00 * vw, i01 * vw, i02 * vw,
+                       i11 * vw, i12 * vw, i22 * vw])
+    mean3 = jnp.stack([mean_x, mean_y, mean_z])
+
+    # Dense lookup table: linear voxel id -> slot (-1 if empty or invalid).
+    lut = jnp.full((config.grid_capacity,), -1, jnp.int32)
+    scatter_ids = jnp.where(
+        valid & (unique_ids < config.grid_capacity) & (unique_ids >= 0),
+        unique_ids,
+        config.grid_capacity,  # out of bounds -> dropped
+    )
+    lut = lut.at[scatter_ids].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+
     return NDTMap(
         unique_ids=unique_ids,
-        mean=mean,
-        icov=jnp.where(valid[:, None, None], icov, 0.0),
         valid=valid,
         min_b=min_b,
         div=div,
         div_mul=div_mul,
+        lut=lut,
+        mean3=mean3,
+        icov6=icov6,
     )
 
 
@@ -211,12 +288,11 @@ _OFFSETS = {
 
 
 def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
-    """Gather neighbor voxel slots for each query point.
+    """Gather neighbor voxel slots for each query point ([N, K] API).
 
     Equivalent of ``getNeighborhoodAtPoint{,7,1}``
     (``voxel_grid_covariance_omp_impl.hpp:372-442``): displacement cells are
-    bounds-checked against the grid then looked up by linear id via binary
-    search in the sorted unique-id table.
+    bounds-checked against the grid then resolved through the dense LUT.
     """
     dtype = query_xyz.dtype
     inv_leaf = jnp.asarray(1.0 / resolution, dtype)
@@ -225,11 +301,11 @@ def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
     nijk = ijk[:, None, :] + off[None, :, :]  # [N, K, 3]
     in_bounds = jnp.all((nijk >= 0) & (nijk < ndt_map.div), axis=-1)
     nvid = jnp.sum(nijk * ndt_map.div_mul, axis=-1)
-    nvid = jnp.where(in_bounds, nvid, _INT_MAX)
-    slot = jnp.searchsorted(ndt_map.unique_ids, nvid.reshape(-1)).reshape(nvid.shape)
-    slot = jnp.minimum(slot, ndt_map.unique_ids.shape[0] - 1)
-    found = (ndt_map.unique_ids[slot] == nvid) & in_bounds & ndt_map.valid[slot]
-    return slot, found
+    g_cap = ndt_map.lut.shape[0]
+    ok = in_bounds & (nvid >= 0) & (nvid < g_cap)
+    slot = ndt_map.lut[jnp.where(ok, nvid, 0)]
+    found = ok & (slot >= 0)
+    return jnp.maximum(slot, 0), found
 
 
 def _angle_tables(p, dtype):
@@ -320,67 +396,177 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
                         resolution, offsets, compute_hessian: bool = True):
     """Score, gradient and Hessian of the NDT objective at chart point p.
 
-    Fused equivalent of the reference's OpenMP hot loop
+    Fused flat-layout equivalent of the reference's OpenMP hot loop
     (``computeDerivatives``, ``ndt_omp_impl.hpp:178-285`` +
-    ``updateDerivatives`` ``:483-537``), vectorized over
-    [points x neighbors] and reduced with MXU contractions.
+    ``updateDerivatives`` ``:483-537``).
+
+    TPU layout strategy: everything is computed as 1D ``[N*K]`` component
+    arrays (structure-of-arrays). Gathering ``[N, K, 3, 3]`` tensors would
+    pad each tiny trailing tile to (8, 128) on TPU — a ~50x memory blowup;
+    per-component 1D gathers keep lanes dense, all math on the VPU, and the
+    final 6+21+21 reductions fuse into a handful of passes.
     """
     dtype = src_xyz.dtype
+    N = src_xyz.shape[0]
+    K = len(offsets)
+    NK = N * K
+
     T = se3.pose6_to_matrix(p)
-    trans = jnp.matmul(src_xyz, T[:3, :3].T, precision=_HP) + T[:3, 3]
+    R, t = T[:3, :3], T[:3, 3]
+    sx, sy, sz = src_xyz[:, 0], src_xyz[:, 1], src_xyz[:, 2]
+    tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
+    ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
+    tz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
 
-    slot, found = lookup_neighbors(ndt_map, trans, resolution, offsets)
-    mean = ndt_map.mean[slot]  # [N, K, 3]
-    icov = ndt_map.icov[slot]  # [N, K, 3, 3]
+    inv_leaf = jnp.asarray(1.0 / resolution, dtype)
+    ix = jnp.floor(tx * inv_leaf).astype(jnp.int32) - ndt_map.min_b[0]
+    iy = jnp.floor(ty * inv_leaf).astype(jnp.int32) - ndt_map.min_b[1]
+    iz = jnp.floor(tz * inv_leaf).astype(jnp.int32) - ndt_map.min_b[2]
 
-    q = trans[:, None, :] - mean  # [N, K, 3]
-    Cq = jnp.einsum("nkij,nkj->nki", icov, q, precision=_HP)
-    qCq = jnp.sum(q * Cq, axis=-1)  # [N, K]
+    flat = jnp.arange(NK, dtype=jnp.int32)
+    pidx = flat // K
+    kidx = flat % K
+    off = jnp.asarray(offsets, jnp.int32)
+    ox, oy, oz = off[:, 0][kidx], off[:, 1][kidx], off[:, 2][kidx]
+
+    nix = ix[pidx] + ox
+    niy = iy[pidx] + oy
+    niz = iz[pidx] + oz
+    div = ndt_map.div
+    in_b = (
+        (nix >= 0) & (nix < div[0]) & (niy >= 0) & (niy < div[1])
+        & (niz >= 0) & (niz < div[2])
+    )
+    nvid = nix + niy * div[0] + niz * (div[0] * div[1])
+    g_cap = ndt_map.lut.shape[0]
+    ok = in_b & (nvid >= 0) & (nvid < g_cap)
+    slot = ndt_map.lut[jnp.where(ok, nvid, 0)]
+    found = ok & (slot >= 0) & src_mask[pidx]
+    slot = jnp.maximum(slot, 0)
+
+    mx = ndt_map.mean3[0][slot]
+    my = ndt_map.mean3[1][slot]
+    mz = ndt_map.mean3[2][slot]
+    qx = tx[pidx] - mx
+    qy = ty[pidx] - my
+    qz = tz[pidx] - mz
+
+    cxx = ndt_map.icov6[0][slot]
+    cxy = ndt_map.icov6[1][slot]
+    cxz = ndt_map.icov6[2][slot]
+    cyy = ndt_map.icov6[3][slot]
+    cyz = ndt_map.icov6[4][slot]
+    czz = ndt_map.icov6[5][slot]
+
+    Cqx = cxx * qx + cxy * qy + cxz * qz
+    Cqy = cxy * qx + cyy * qy + cyz * qz
+    Cqz = cxz * qx + cyz * qy + czz * qz
+    qCq = qx * Cqx + qy * Cqy + qz * Cqz
 
     e = jnp.exp(-0.5 * d2 * qCq)
     e_x_cov_x = d2 * e
     # NaN/invalid guard (``ndt_omp_impl.hpp:506-507``)
     gate = (
-        (e_x_cov_x <= 1.0)
-        & (e_x_cov_x >= 0.0)
-        & jnp.isfinite(e_x_cov_x)
+        (e_x_cov_x <= 1.0) & (e_x_cov_x >= 0.0) & jnp.isfinite(e_x_cov_x)
         & found
-        & src_mask[:, None]
     ).astype(dtype)
 
-    score = jnp.sum(-d1 * e * gate)
-    factor = d1 * d2 * e * gate  # [N, K]
+    factor = d1 * d2 * e * gate  # [NK]
 
+    # Angular tables and per-point projections x . j_row (eq. 6.19)
     j_tab, h_tab = _angle_tables(p, dtype)
-    Jr = _point_jacobians(src_xyz, j_tab)  # [N, 3, 3]
+    xj = [j_tab[k, 0] * sx + j_tab[k, 1] * sy + j_tab[k, 2] * sz
+          for k in range(8)]  # each [N]
+    xjf = [v[pidx] for v in xj]  # each [NK]
 
-    # u = q^T C J over the 6 chart dims: translation block is Cq itself.
-    u_rot = jnp.einsum("nki,nij->nkj", Cq, Jr, precision=_HP)  # [N, K, 3]
-    u = jnp.concatenate([Cq, u_rot], axis=-1)  # [N, K, 6]
+    # u = q^T C J over the 6 chart dims (J = [I | Jr]); Jr columns:
+    # roll = (0, xj0, xj1), pitch = (xj2, xj3, xj4), yaw = (xj5, xj6, xj7).
+    u = (
+        Cqx,
+        Cqy,
+        Cqz,
+        Cqy * xjf[0] + Cqz * xjf[1],
+        Cqx * xjf[2] + Cqy * xjf[3] + Cqz * xjf[4],
+        Cqx * xjf[5] + Cqy * xjf[6] + Cqz * xjf[7],
+    )
 
-    grad = jnp.einsum("nk,nki->i", factor, u, precision=_HP)
+    # ---- Single fused reduction over all score/grad/Hessian terms ----
+    # Emitting ~50 independent jnp.sum calls would serialize ~50 tiny TPU
+    # kernels; instead every product term is stacked into one [C, NK] tensor,
+    # reduced in a single pass, and the 6x6 Hessian is assembled from the
+    # reduced vector with one small static matmul.
+    terms = [-d1 * e * gate]  # score
+    terms += [factor * ui for ui in u]  # gradient (6)
 
+    # Hessian contributions, 21 unique upper-triangle entries built from:
+    #   term1 = -d2 * factor * u_i u_j               (all i <= j)
+    #   term3 = factor * (J^T C J)_{ij}
+    #   term2 = factor * q^T C H_ij                  (rot-rot only)
+    if compute_hessian:
+        # C @ Jr columns (vec comp i, angle col m) — shared by tr/rr blocks.
+        CJ = [
+            [cxy * xjf[0] + cxz * xjf[1],
+             cxx * xjf[2] + cxy * xjf[3] + cxz * xjf[4],
+             cxx * xjf[5] + cxy * xjf[6] + cxz * xjf[7]],
+            [cyy * xjf[0] + cyz * xjf[1],
+             cxy * xjf[2] + cyy * xjf[3] + cyz * xjf[4],
+             cxy * xjf[5] + cyy * xjf[6] + cyz * xjf[7]],
+            [cyz * xjf[0] + czz * xjf[1],
+             cxz * xjf[2] + cyz * xjf[3] + czz * xjf[4],
+             cxz * xjf[5] + cyz * xjf[6] + czz * xjf[7]],
+        ]
+        C = [[cxx, cxy, cxz], [cxy, cyy, cyz], [cxz, cyz, czz]]
+
+        def col_dot(a, v):
+            # Jr column a . v, with Jr columns roll=(0,xj0,xj1),
+            # pitch=(xj2,xj3,xj4), yaw=(xj5,xj6,xj7)
+            if a == 0:
+                return xjf[0] * v[1] + xjf[1] * v[2]
+            if a == 1:
+                return xjf[2] * v[0] + xjf[3] * v[1] + xjf[4] * v[2]
+            return xjf[5] * v[0] + xjf[6] * v[1] + xjf[7] * v[2]
+
+        # q^T C H_ab vectors (eq. 6.21 a..f) via x.h projections
+        xh = [h_tab[k, 0] * sx + h_tab[k, 1] * sy + h_tab[k, 2] * sz
+              for k in range(15)]
+        xhf = [v[pidx] for v in xh]
+        Hv = {
+            (0, 0): Cqy * xhf[0] + Cqz * xhf[1],
+            (0, 1): Cqy * xhf[2] + Cqz * xhf[3],
+            (0, 2): Cqy * xhf[4] + Cqz * xhf[5],
+            (1, 1): Cqx * xhf[6] + Cqy * xhf[7] + Cqz * xhf[8],
+            (1, 2): Cqx * xhf[9] + Cqy * xhf[10] + Cqz * xhf[11],
+            (2, 2): Cqx * xhf[12] + Cqy * xhf[13] + Cqz * xhf[14],
+        }
+
+        for i in range(6):
+            for j in range(i, 6):
+                contrib = -d2 * factor * u[i] * u[j]
+                if i < 3 and j < 3:  # translation-translation: C
+                    contrib = contrib + factor * C[i][j]
+                elif i < 3 <= j:  # translation-rotation: (C Jr)[i, m]
+                    contrib = contrib + factor * CJ[i][j - 3]
+                else:  # rotation-rotation: Jr_a . C Jr_b + q^T C H_ab
+                    a_, b_ = i - 3, j - 3
+                    contrib = contrib + factor * (
+                        col_dot(a_, [CJ[0][b_], CJ[1][b_], CJ[2][b_]])
+                        + Hv[(a_, b_)]
+                    )
+                terms.append(contrib)
+
+    stacked = jnp.stack(terms)  # [C, NK]
+    sums = jnp.sum(stacked, axis=1)  # [C]
+
+    score = sums[0]
+    grad = sums[1:7]
     if not compute_hessian:
         return score, grad, None
 
-    Hrr = _point_hessians(src_xyz, h_tab)  # [N, 3, 3, 3]
-
-    # term1 = -d2 * sum factor * u u^T   (first part of eq. 6.13)
-    h1 = -d2 * jnp.einsum("nk,nki,nkj->ij", factor, u, u, precision=_HP)
-
-    # term2 = sum factor * q^T C H_ij  (nonzero only in the rot-rot block)
-    fCq = jnp.einsum("nk,nki->ni", factor, Cq, precision=_HP)  # [N, 3]
-    h2_rr = jnp.einsum("ni,nabi->ab", fCq, Hrr, precision=_HP)  # [3, 3]
-
-    # term3 = sum factor * J^T C J with J = [I | Jr]
-    fC = jnp.einsum("nk,nkij->nij", factor, icov, precision=_HP)  # [N, 3, 3]
-    h3_tt = jnp.sum(fC, axis=0)
-    h3_tr = jnp.einsum("nij,njm->im", fC, Jr, precision=_HP)
-    h3_rr = jnp.einsum("nia,nij,njb->ab", Jr, fC, Jr, precision=_HP)
-
-    top = jnp.concatenate([h3_tt, h3_tr], axis=1)
-    bottom = jnp.concatenate([h3_tr.T, h3_rr + h2_rr], axis=1)
-    hess = h1 + jnp.concatenate([top, bottom], axis=0)
+    tri = sums[7:]  # 21 upper-triangle entries, row-major
+    rows, cols = jnp.triu_indices(6)
+    hess = jnp.zeros((6, 6), dtype)
+    hess = hess.at[rows, cols].set(tri)
+    hess = hess.at[cols, rows].set(tri)
     return score, grad, hess
 
 
