@@ -78,6 +78,11 @@ class NDTMap(NamedTuple):
     lut: jax.Array  # [grid_capacity] int32 slot index or -1
     mean3: jax.Array  # [3, V]
     icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
+    # Packed per-voxel stats [V, 16]: mean(3), icov sym(6), valid flag, pad.
+    # The derivative kernel fetches everything with ONE row gather — TPU
+    # handles row gathers natively, while many separate 1D gathers were
+    # observed to re-scan the tables (~77 GB accessed per evaluation).
+    table: jax.Array
 
     @property
     def mean(self):
@@ -253,6 +258,12 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     icov6 = jnp.stack([i00 * vw, i01 * vw, i02 * vw,
                        i11 * vw, i12 * vw, i22 * vw])
     mean3 = jnp.stack([mean_x, mean_y, mean_z])
+    zero = jnp.zeros_like(vw)
+    table = jnp.stack([
+        mean_x, mean_y, mean_z,
+        i00 * vw, i01 * vw, i02 * vw, i11 * vw, i12 * vw, i22 * vw,
+        vw, zero, zero, zero, zero, zero, zero,
+    ], axis=1)  # [V, 16]
 
     # Dense lookup table: linear voxel id -> slot (-1 if empty or invalid).
     lut = jnp.full((config.grid_capacity,), -1, jnp.int32)
@@ -274,6 +285,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         lut=lut,
         mean3=mean3,
         icov6=icov6,
+        table=table,
     )
 
 
@@ -400,11 +412,14 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     (``computeDerivatives``, ``ndt_omp_impl.hpp:178-285`` +
     ``updateDerivatives`` ``:483-537``).
 
-    TPU layout strategy: everything is computed as 1D ``[N*K]`` component
-    arrays (structure-of-arrays). Gathering ``[N, K, 3, 3]`` tensors would
-    pad each tiny trailing tile to (8, 128) on TPU — a ~50x memory blowup;
-    per-component 1D gathers keep lanes dense, all math on the VPU, and the
-    final 6+21+21 reductions fuse into a handful of passes.
+    TPU layout strategy:
+    - per-point quantities are computed once on [N] lanes and expanded to
+      [N*K] by broadcast-reshape (contiguous, no random access);
+    - ALL per-voxel statistics arrive via ONE [N*K, 16] row gather from the
+      packed map table plus one int LUT gather (XLA lowers many separate 1D
+      gathers to repeated table scans — measured 77 GB of traffic/eval);
+    - the ~28 score/grad/Hessian reductions are stacked into a single
+      [C, N*K] tensor and reduced in one pass.
     """
     dtype = src_xyz.dtype
     N = src_xyz.shape[0]
@@ -423,15 +438,18 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     iy = jnp.floor(ty * inv_leaf).astype(jnp.int32) - ndt_map.min_b[1]
     iz = jnp.floor(tz * inv_leaf).astype(jnp.int32) - ndt_map.min_b[2]
 
-    flat = jnp.arange(NK, dtype=jnp.int32)
-    pidx = flat // K
-    kidx = flat % K
-    off = jnp.asarray(offsets, jnp.int32)
-    ox, oy, oz = off[:, 0][kidx], off[:, 1][kidx], off[:, 2][kidx]
+    def expand(v):
+        """[N] -> [NK] by repeating each element K times (pure broadcast)."""
+        return jnp.broadcast_to(v[:, None], (N, K)).reshape(NK)
 
-    nix = ix[pidx] + ox
-    niy = iy[pidx] + oy
-    niz = iz[pidx] + oz
+    off = jnp.asarray(offsets, jnp.int32)  # [K, 3]
+    ox = jnp.broadcast_to(off[:, 0][None, :], (N, K)).reshape(NK)
+    oy = jnp.broadcast_to(off[:, 1][None, :], (N, K)).reshape(NK)
+    oz = jnp.broadcast_to(off[:, 2][None, :], (N, K)).reshape(NK)
+
+    nix = expand(ix) + ox
+    niy = expand(iy) + oy
+    niz = expand(iz) + oz
     div = ndt_map.div
     in_b = (
         (nix >= 0) & (nix < div[0]) & (niy >= 0) & (niy < div[1])
@@ -440,23 +458,19 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     nvid = nix + niy * div[0] + niz * (div[0] * div[1])
     g_cap = ndt_map.lut.shape[0]
     ok = in_b & (nvid >= 0) & (nvid < g_cap)
-    slot = ndt_map.lut[jnp.where(ok, nvid, 0)]
-    found = ok & (slot >= 0) & src_mask[pidx]
+    slot = ndt_map.lut[jnp.where(ok, nvid, 0)]  # [NK] int gather
+    found = ok & (slot >= 0) & expand(src_mask)
     slot = jnp.maximum(slot, 0)
 
-    mx = ndt_map.mean3[0][slot]
-    my = ndt_map.mean3[1][slot]
-    mz = ndt_map.mean3[2][slot]
-    qx = tx[pidx] - mx
-    qy = ty[pidx] - my
-    qz = tz[pidx] - mz
+    stats = ndt_map.table[slot]  # [NK, 16] row gather — the only big fetch
+    mx, my, mz = stats[:, 0], stats[:, 1], stats[:, 2]
+    cxx, cxy, cxz = stats[:, 3], stats[:, 4], stats[:, 5]
+    cyy, cyz, czz = stats[:, 6], stats[:, 7], stats[:, 8]
+    vox_valid = stats[:, 9] > 0.5
 
-    cxx = ndt_map.icov6[0][slot]
-    cxy = ndt_map.icov6[1][slot]
-    cxz = ndt_map.icov6[2][slot]
-    cyy = ndt_map.icov6[3][slot]
-    cyz = ndt_map.icov6[4][slot]
-    czz = ndt_map.icov6[5][slot]
+    qx = expand(tx) - mx
+    qy = expand(ty) - my
+    qz = expand(tz) - mz
 
     Cqx = cxx * qx + cxy * qy + cxz * qz
     Cqy = cxy * qx + cyy * qy + cyz * qz
@@ -468,16 +482,15 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     # NaN/invalid guard (``ndt_omp_impl.hpp:506-507``)
     gate = (
         (e_x_cov_x <= 1.0) & (e_x_cov_x >= 0.0) & jnp.isfinite(e_x_cov_x)
-        & found
+        & found & vox_valid
     ).astype(dtype)
 
     factor = d1 * d2 * e * gate  # [NK]
 
     # Angular tables and per-point projections x . j_row (eq. 6.19)
     j_tab, h_tab = _angle_tables(p, dtype)
-    xj = [j_tab[k, 0] * sx + j_tab[k, 1] * sy + j_tab[k, 2] * sz
-          for k in range(8)]  # each [N]
-    xjf = [v[pidx] for v in xj]  # each [NK]
+    xjf = [expand(j_tab[k, 0] * sx + j_tab[k, 1] * sy + j_tab[k, 2] * sz)
+           for k in range(8)]
 
     # u = q^T C J over the 6 chart dims (J = [I | Jr]); Jr columns:
     # roll = (0, xj0, xj1), pitch = (xj2, xj3, xj4), yaw = (xj5, xj6, xj7).
@@ -491,17 +504,9 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     )
 
     # ---- Single fused reduction over all score/grad/Hessian terms ----
-    # Emitting ~50 independent jnp.sum calls would serialize ~50 tiny TPU
-    # kernels; instead every product term is stacked into one [C, NK] tensor,
-    # reduced in a single pass, and the 6x6 Hessian is assembled from the
-    # reduced vector with one small static matmul.
     terms = [-d1 * e * gate]  # score
     terms += [factor * ui for ui in u]  # gradient (6)
 
-    # Hessian contributions, 21 unique upper-triangle entries built from:
-    #   term1 = -d2 * factor * u_i u_j               (all i <= j)
-    #   term3 = factor * (J^T C J)_{ij}
-    #   term2 = factor * q^T C H_ij                  (rot-rot only)
     if compute_hessian:
         # C @ Jr columns (vec comp i, angle col m) — shared by tr/rr blocks.
         CJ = [
@@ -518,18 +523,14 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
         C = [[cxx, cxy, cxz], [cxy, cyy, cyz], [cxz, cyz, czz]]
 
         def col_dot(a, v):
-            # Jr column a . v, with Jr columns roll=(0,xj0,xj1),
-            # pitch=(xj2,xj3,xj4), yaw=(xj5,xj6,xj7)
             if a == 0:
                 return xjf[0] * v[1] + xjf[1] * v[2]
             if a == 1:
                 return xjf[2] * v[0] + xjf[3] * v[1] + xjf[4] * v[2]
             return xjf[5] * v[0] + xjf[6] * v[1] + xjf[7] * v[2]
 
-        # q^T C H_ab vectors (eq. 6.21 a..f) via x.h projections
-        xh = [h_tab[k, 0] * sx + h_tab[k, 1] * sy + h_tab[k, 2] * sz
-              for k in range(15)]
-        xhf = [v[pidx] for v in xh]
+        xhf = [expand(h_tab[k, 0] * sx + h_tab[k, 1] * sy + h_tab[k, 2] * sz)
+               for k in range(15)]
         Hv = {
             (0, 0): Cqy * xhf[0] + Cqz * xhf[1],
             (0, 1): Cqy * xhf[2] + Cqz * xhf[3],
@@ -542,11 +543,11 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
         for i in range(6):
             for j in range(i, 6):
                 contrib = -d2 * factor * u[i] * u[j]
-                if i < 3 and j < 3:  # translation-translation: C
+                if i < 3 and j < 3:
                     contrib = contrib + factor * C[i][j]
-                elif i < 3 <= j:  # translation-rotation: (C Jr)[i, m]
+                elif i < 3 <= j:
                     contrib = contrib + factor * CJ[i][j - 3]
-                else:  # rotation-rotation: Jr_a . C Jr_b + q^T C H_ab
+                else:
                     a_, b_ = i - 3, j - 3
                     contrib = contrib + factor * (
                         col_dot(a_, [CJ[0][b_], CJ[1][b_], CJ[2][b_]])
@@ -562,7 +563,7 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     if not compute_hessian:
         return score, grad, None
 
-    tri = sums[7:]  # 21 upper-triangle entries, row-major
+    tri = sums[7:]
     rows, cols = jnp.triu_indices(6)
     hess = jnp.zeros((6, 6), dtype)
     hess = hess.at[rows, cols].set(tri)
