@@ -30,8 +30,10 @@ def main():
     source = pointcloud.from_numpy(source_np, capacity=cap)
 
     ds = jax.jit(pointcloud.voxel_downsample, static_argnums=1)
-    t_ds = ds(target, 0.1)
-    s_ds = ds(source, 0.1)
+    # Downsampled clouds hold ~16k valid points; shrink the static capacity
+    # so the registration kernels don't process 70k padded lanes.
+    t_ds = pointcloud.shrink_to(ds(target, 0.1), 24576)
+    s_ds = pointcloud.shrink_to(ds(source, 0.1), 24576)
     jax.block_until_ready((t_ds, s_ds))
 
     cfg = ndt.NDTConfig(resolution=1.0)

@@ -74,6 +74,18 @@ def pad_to(cloud: PointCloud, capacity: int) -> PointCloud:
     )
 
 
+def shrink_to(cloud: PointCloud, capacity: int) -> PointCloud:
+    """Slice to a smaller static capacity, assuming valid lanes come first.
+
+    ``voxel_downsample`` emits valid lanes first (sorted voxel order), so
+    after a downsample the cloud can usually drop to a much smaller static
+    capacity — removing padded dead lanes from every downstream kernel.
+    Valid points beyond ``capacity`` are lost (count is dynamic; callers
+    choose a capacity with headroom).
+    """
+    return PointCloud(cloud.xyzi[:capacity], cloud.mask[:capacity])
+
+
 def transform(cloud: PointCloud, T) -> PointCloud:
     """Rigid transform; padded lanes keep their sentinel (masked out)."""
     xyz = jnp.matmul(cloud.xyzi[:, :3], T[:3, :3].T,

@@ -1,0 +1,390 @@
+"""LOAM-style feature-based LiDAR odometry ("TASLO" capability port).
+
+Re-designs ``lidar_subscriber/src/loam_mapping_node.cpp`` (1.8k LoC, three
+threads + KD-trees + per-ring std::sort) as fixed-shape JAX programs:
+
+- Scan organization (``organizePointCloudByRing/Angles``, ``:914-1088``):
+  points are globally sorted once by a composite (ring, azimuth) key; ring
+  neighborhoods become contiguous windows of the sorted array.
+- 11-point curvature (``calculateCurvatureForScanLine``, ``:768-801``):
+  a stencil over the sorted array, masked where the window crosses rings.
+- Sharp/flat selection with spread control (``extractSharp/FlatPoints...``,
+  ``:803-913``): the reference's per-line greedy pick with min-distance
+  suppression becomes a per-(ring, sector) quota via segmented argmax rounds
+  — same intent (strongest features, spatially spread), branch-free.
+- Scan-to-map Gauss-Newton (``optimizeOdometry`` ``:1111-1421``): 5-NN by
+  brute-force MXU distances against bounded local feature maps, line/plane
+  fits via the closed-form 3x3 eigensolver with the reference's eigenvalue
+  gates (edge: l2 >= 3 l0, ``:1269``; plane: l0 <= 0.02 l2, ``:1368``),
+  Huber-like 0.1/d weights (``:1301-1306``), LM damping A += noise*1000
+  (``:1160``), axis-angle right-update of the pose (``:1178-1193``).
+- Keyframing + bounded local map update (``isKeyframe``/``updateLocalMap``,
+  ``:1626+``) with voxel refiltering instead of KD-tree rebuilds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.core import se3
+from toyslam_tpu.core.pointcloud import PointCloud, voxel_downsample
+from toyslam_tpu.ops.eigh3 import eigh3_soa
+
+_HP = jax.lax.Precision.HIGHEST
+_BIG = 1.0e9
+
+
+class LoamConfig(NamedTuple):
+    n_rings: int = 32  # HDL-32E (loam_mapping_node.cpp:44 region)
+    vertical_fov_deg: tuple = (-30.67, 10.67)  # HDL-32E
+    n_sectors: int = 6  # feature spread sectors per ring (LOAM convention)
+    edge_per_sector: int = 2
+    surf_per_sector: int = 4
+    edge_threshold: float = 1.0  # curvature gates (node params)
+    surf_threshold: float = 0.1
+    max_edge_features: int = 384
+    max_surf_features: int = 768
+    map_capacity_edge: int = 4096
+    map_capacity_surf: int = 8192
+    map_leaf_edge: float = 0.4
+    map_leaf_surf: float = 0.8
+    nn_k: int = 5
+    optimization_iterations: int = 10
+    system_noise: float = 1e-4  # LM damping base (A += noise*1000, :1160)
+    max_corr_dist: float = 1.0  # residual gate (:1288,:1390)
+    keyframe_dist: float = 1.0  # keyframing thresholds (:1626+)
+    keyframe_angle: float = 0.15
+    min_range: float = 2.0
+    max_range: float = 80.0  # sensor range (:44)
+
+
+class FeatureScan(NamedTuple):
+    """Sorted organized scan + extracted features (all fixed-shape)."""
+
+    edge_xyz: jax.Array  # [Fe, 3]
+    edge_mask: jax.Array  # [Fe]
+    surf_xyz: jax.Array  # [Fs, 3]
+    surf_mask: jax.Array  # [Fs]
+
+
+def organize_and_extract(cloud: PointCloud, cfg: LoamConfig) -> FeatureScan:
+    """Ring/azimuth sort -> curvature -> sector-quota feature selection."""
+    dtype = cloud.xyzi.dtype
+    xyz = cloud.xyzi[:, :3]
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    range_ok = (rng > cfg.min_range) & (rng < cfg.max_range) & cloud.mask
+
+    # Ring from elevation angle (organizePointCloudByAngles, :1040-1088)
+    elev = jnp.rad2deg(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+    lo, hi = cfg.vertical_fov_deg
+    ring = jnp.clip(
+        jnp.round((elev - lo) / (hi - lo) * (cfg.n_rings - 1)), 0,
+        cfg.n_rings - 1,
+    ).astype(jnp.int32)
+    azim = jnp.arctan2(y, x)  # [-pi, pi], the reference's sort key (:771-774)
+
+    # Composite sort: ring-major, azimuth-minor; invalid lanes sort last.
+    key = jnp.where(
+        range_ok,
+        ring.astype(dtype) * 8.0 + (azim + jnp.pi) / (2 * jnp.pi) * 7.9,
+        jnp.asarray(1e6, dtype),
+    )
+    order = jnp.argsort(key)
+    xs = xyz[order]
+    ring_s = ring[order]
+    ok_s = range_ok[order]
+
+    # 11-point curvature stencil (:768-801); windows crossing ring borders
+    # or touching invalid points are masked out.
+    n = xs.shape[0]
+    acc = -10.0 * xs
+    ok_win = ok_s
+    same_ring = jnp.ones_like(ok_s)
+    for off in range(1, 6):
+        left = jnp.roll(xs, off, axis=0)
+        right = jnp.roll(xs, -off, axis=0)
+        acc = acc + left + right
+        ok_win = ok_win & jnp.roll(ok_s, off) & jnp.roll(ok_s, -off)
+        same_ring = same_ring & (jnp.roll(ring_s, off) == ring_s) \
+            & (jnp.roll(ring_s, -off) == ring_s)
+    curvature = jnp.sum(acc * acc, axis=-1)
+    cur_ok = ok_win & same_ring
+
+    # Sector id within each ring from the sorted azimuth position
+    azim_s = jnp.arctan2(xs[:, 1], xs[:, 0])
+    sector = jnp.clip(
+        ((azim_s + jnp.pi) / (2 * jnp.pi) * cfg.n_sectors).astype(jnp.int32),
+        0, cfg.n_sectors - 1,
+    )
+    seg = ring_s * cfg.n_sectors + sector  # [n] in [0, R*S)
+    n_seg = cfg.n_rings * cfg.n_sectors
+
+    def pick_rounds(score, gate, rounds, cap):
+        """Per-segment argmax, `rounds` times; returns (xyz [cap,3], mask)."""
+        picked_idx = []
+        score = jnp.where(gate, score, -_BIG)
+        idx_arr = jnp.arange(n, dtype=jnp.int32)
+        for _ in range(rounds):
+            seg_max = jax.ops.segment_max(score, seg, num_segments=n_seg)
+            # winner: first index achieving its segment max (and valid)
+            is_max = (score == seg_max[seg]) & (score > -_BIG)
+            # break ties: keep lowest index per segment
+            cand = jnp.where(is_max, idx_arr, n)
+            seg_win = jax.ops.segment_min(cand, seg, num_segments=n_seg)
+            win_mask = jnp.zeros((n + 1,), bool).at[seg_win].set(
+                True, mode="drop"
+            )[:n]
+            picked_idx.append(win_mask)
+            score = jnp.where(win_mask, -_BIG, score)
+        mask_all = jnp.zeros((n,), bool)
+        for m in picked_idx:
+            mask_all = mask_all | m
+        # compact winners to [cap]
+        prio = jnp.where(mask_all, jnp.arange(n), n)
+        order2 = jnp.argsort(prio)[:cap]
+        sel_mask = mask_all[order2]
+        sel_xyz = jnp.where(sel_mask[:, None], xs[order2], _BIG)
+        return sel_xyz, sel_mask
+
+    edge_xyz, edge_mask = pick_rounds(
+        curvature, cur_ok & (curvature > cfg.edge_threshold),
+        cfg.edge_per_sector, cfg.max_edge_features,
+    )
+    surf_xyz, surf_mask = pick_rounds(
+        -curvature, cur_ok & (curvature < cfg.surf_threshold),
+        cfg.surf_per_sector, cfg.max_surf_features,
+    )
+    return FeatureScan(edge_xyz, edge_mask, surf_xyz, surf_mask)
+
+
+def _knn(query, query_mask, ref, ref_mask, k):
+    """Brute-force k-NN: query [F,3] vs ref [M,3] -> idx [F,k], sqdist."""
+    d = (
+        jnp.sum(query * query, 1)[:, None]
+        - 2.0 * jnp.matmul(query, ref.T, precision=_HP)
+        + jnp.sum(ref * ref, 1)[None, :]
+    )
+    d = jnp.where(ref_mask[None, :], d, _BIG)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    sqd = jnp.maximum(-neg_d, 0.0)
+    valid = sqd < _BIG * 0.5
+    valid = valid & query_mask[:, None]
+    return idx, sqd, valid
+
+
+def _accumulate_edge_factors(world_pts, mask, R_cur, local_pts, map_xyz,
+                             map_mask, cfg: LoamConfig):
+    """Point-to-line factors (``findEdgeFactorsALOAM``, ``:1225-1322``).
+
+    Returns per-factor (unit_dir-projected Jacobian rows, residuals, weights)
+    reduced into (A [6,6], b [6], count).
+    """
+    idx, sqd, valid = _knn(world_pts, mask, map_xyz, map_mask, cfg.nn_k)
+    nn = map_xyz[idx]  # [F, k, 3]
+    ok = jnp.all(valid, axis=1) & (sqd[:, -1] >= 0.01)  # 5 found, not too close
+
+    centroid = jnp.mean(nn, axis=1)
+    c = nn - centroid[:, None, :]
+    cov = jnp.einsum("fki,fkj->fij", c, c, precision=_HP)
+    (l0, _l1, l2), vec = eigh3_soa(
+        cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+        cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2],
+    )
+    is_line = l2 >= 3.0 * l0  # (:1269)
+    line_dir = jnp.stack([vec[2], vec[5], vec[8]], -1)  # eigvec of l2
+
+    dp = world_pts - centroid
+    proj = centroid + line_dir * jnp.sum(line_dir * dp, -1, keepdims=True)
+    dist_vec = world_pts - proj
+    dist = jnp.linalg.norm(dist_vec, axis=-1)
+    ok = ok & is_line & (dist <= cfg.max_corr_dist) & (dist > 1e-9)
+
+    unit = dist_vec / jnp.maximum(dist, 1e-9)[:, None]
+    # Jacobian of the residual wrt [t, theta]: rows = unit^T [I | -[R p]x]
+    Rp = jnp.matmul(local_pts, R_cur.T, precision=_HP)
+    # J[:, 0:3] = unit ; J[:, 3:6] = unit^T (-skew(Rp)) = (Rp x unit)
+    J_rot = jnp.cross(Rp, unit)
+    J = jnp.concatenate([unit, J_rot], axis=1)  # [F, 6]
+
+    w = jnp.where(dist > 0.1, 0.1 / jnp.maximum(dist, 1e-9), 1.0)
+    w = w * ok.astype(world_pts.dtype)
+    A = jnp.einsum("f,fi,fj->ij", w, J, J, precision=_HP)
+    b = jnp.einsum("f,fi,f->i", w, J, dist, precision=_HP)
+    return A, b, jnp.sum(ok.astype(jnp.int32))
+
+
+def _accumulate_surf_factors(world_pts, mask, R_cur, local_pts, map_xyz,
+                             map_mask, cfg: LoamConfig):
+    """Point-to-plane factors (``findSurfFactorsALOAM``, ``:1324-1421``)."""
+    idx, sqd, valid = _knn(world_pts, mask, map_xyz, map_mask, cfg.nn_k)
+    nn = map_xyz[idx]
+    ok = jnp.all(valid, axis=1) & (sqd[:, -1] >= 0.01)
+
+    centroid = jnp.mean(nn, axis=1)
+    c = nn - centroid[:, None, :]
+    cov = jnp.einsum("fki,fkj->fij", c, c, precision=_HP)
+    (l0, _l1, l2), vec = eigh3_soa(
+        cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+        cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2],
+    )
+    is_plane = l0 <= 0.02 * l2  # (:1368)
+    normal = jnp.stack([vec[0], vec[3], vec[6]], -1)  # eigvec of l0
+    # orient outward (:1377)
+    flip = jnp.sum(normal * centroid, -1) < 0
+    normal = jnp.where(flip[:, None], -normal, normal)
+
+    d_plane = -jnp.sum(normal * centroid, -1)
+    dist = jnp.sum(normal * world_pts, -1) + d_plane  # signed
+    ok = ok & is_plane & (jnp.abs(dist) <= cfg.max_corr_dist)
+
+    Rp = jnp.matmul(local_pts, R_cur.T, precision=_HP)
+    J_rot = jnp.cross(Rp, normal)  # (-skew(Rp) @ n)^T = Rp x n
+    J = jnp.concatenate([normal, J_rot], axis=1)
+
+    absd = jnp.abs(dist)
+    w = jnp.where(absd > 0.1, 0.1 / jnp.maximum(absd, 1e-9), 1.0)
+    w = w * ok.astype(world_pts.dtype)
+    A = jnp.einsum("f,fi,fj->ij", w, J, J, precision=_HP)
+    b = jnp.einsum("f,fi,f->i", w, J, dist, precision=_HP)
+    return A, b, jnp.sum(ok.astype(jnp.int32))
+
+
+class LoamMaps(NamedTuple):
+    edge_xyz: jax.Array  # [Me, 3] world frame
+    edge_mask: jax.Array
+    surf_xyz: jax.Array  # [Ms, 3]
+    surf_mask: jax.Array
+
+
+def optimize_pose(features: FeatureScan, maps: LoamMaps, q_init, t_init,
+                  cfg: LoamConfig):
+    """Scan-to-map GN (``optimizeOdometry``, ``:1111-1193``)."""
+    dtype = features.edge_xyz.dtype
+
+    def body(_, carry):
+        q, t = carry
+        R = se3.quat_to_rot(q)
+        edge_w = jnp.matmul(features.edge_xyz, R.T, precision=_HP) + t
+        surf_w = jnp.matmul(features.surf_xyz, R.T, precision=_HP) + t
+
+        A1, b1, n1 = _accumulate_edge_factors(
+            edge_w, features.edge_mask, R, features.edge_xyz,
+            maps.edge_xyz, maps.edge_mask, cfg)
+        A2, b2, n2 = _accumulate_surf_factors(
+            surf_w, features.surf_mask, R, features.surf_xyz,
+            maps.surf_xyz, maps.surf_mask, cfg)
+        A = A1 + A2 + cfg.system_noise * 1000.0 * jnp.eye(6, dtype=dtype)
+        b = b1 + b2
+        enough = (n1 + n2) >= 50  # (:1152)
+
+        dx = jnp.linalg.solve(A, -b)
+        finite = jnp.all(jnp.isfinite(dx))
+        do = enough & finite
+        t_new = jnp.where(do, t + dx[:3], t)
+        # axis-angle right-update (:1178-1191) == boxplus for small dx
+        q_new = jnp.where(do, se3.quat_boxplus(q, dx[3:6]), q)
+        return (se3.quat_normalize(q_new), t_new)
+
+    q, t = jax.lax.fori_loop(
+        0, cfg.optimization_iterations, body, (q_init, t_init)
+    )
+    return q, t
+
+
+def update_maps(maps: LoamMaps, features: FeatureScan, q, t,
+                cfg: LoamConfig) -> LoamMaps:
+    """Merge keyframe features into the bounded world maps with voxel
+    refiltering (``updateLocalMap``, ``:1646+``)."""
+    R = se3.quat_to_rot(q)
+
+    def merge(map_xyz, map_mask, feat_xyz, feat_mask, leaf, cap):
+        world = jnp.matmul(feat_xyz, R.T, precision=_HP) + t
+        world = jnp.where(feat_mask[:, None], world, _BIG)
+        merged = PointCloud(
+            jnp.concatenate([
+                jnp.concatenate([map_xyz, jnp.zeros_like(map_xyz[:, :1])], 1),
+                jnp.concatenate([world, jnp.zeros_like(world[:, :1])], 1),
+            ], 0),
+            jnp.concatenate([map_mask, feat_mask], 0),
+        )
+        ds = voxel_downsample(merged, leaf)
+        return ds.xyzi[:cap, :3], ds.mask[:cap]
+
+    e_xyz, e_mask = merge(maps.edge_xyz, maps.edge_mask, features.edge_xyz,
+                          features.edge_mask, cfg.map_leaf_edge,
+                          cfg.map_capacity_edge)
+    s_xyz, s_mask = merge(maps.surf_xyz, maps.surf_mask, features.surf_xyz,
+                          features.surf_mask, cfg.map_leaf_surf,
+                          cfg.map_capacity_surf)
+    return LoamMaps(e_xyz, e_mask, s_xyz, s_mask)
+
+
+class LoamOutput(NamedTuple):
+    positions: jax.Array  # [S, 3]
+    quaternions: jax.Array  # [S, 4]
+    n_keyframes: jax.Array
+
+
+def loam_odometry(scans_xyzi, scans_mask, cfg: LoamConfig = LoamConfig()):
+    """Full pipeline: lax.scan over scans with constant-velocity prediction
+    (``predictMotion``, ``:630-656``), scan-to-map GN, keyframed bounded maps.
+    """
+    dtype = scans_xyzi.dtype
+    S = scans_xyzi.shape[0]
+
+    first = PointCloud(scans_xyzi[0], scans_mask[0])
+    feat0 = organize_and_extract(first, cfg)
+    q0 = se3.quat_identity(dtype)
+    t0 = jnp.zeros(3, dtype)
+    maps0 = LoamMaps(
+        edge_xyz=jnp.full((cfg.map_capacity_edge, 3), _BIG, dtype),
+        edge_mask=jnp.zeros(cfg.map_capacity_edge, bool),
+        surf_xyz=jnp.full((cfg.map_capacity_surf, 3), _BIG, dtype),
+        surf_mask=jnp.zeros(cfg.map_capacity_surf, bool),
+    )
+    maps0 = update_maps(maps0, feat0, q0, t0, cfg)
+
+    def step(carry, scan):
+        maps, q_prev, t_prev, q_delta, t_delta, last_kf_q, last_kf_t, n_kf = carry
+        xyzi, mask = scan
+        feats = organize_and_extract(PointCloud(xyzi, mask), cfg)
+
+        # Constant-velocity prediction (:630-656)
+        q_pred = se3.quat_normalize(se3.quat_multiply(q_prev, q_delta))
+        t_pred = t_prev + se3.quat_rotate(q_prev, t_delta)
+
+        q_new, t_new = optimize_pose(feats, maps, q_pred, t_pred, cfg)
+
+        # Motion delta in the previous body frame
+        q_prev_inv = se3.quat_conjugate(q_prev)
+        q_d = se3.quat_multiply(q_prev_inv, q_new)
+        t_d = se3.quat_rotate(q_prev_inv, t_new - t_prev)
+
+        # Keyframe test (:1626+): distance or rotation since last keyframe
+        dq = se3.quat_multiply(se3.quat_conjugate(last_kf_q), q_new)
+        angle = 2.0 * jnp.arccos(jnp.clip(jnp.abs(dq[0]), 0.0, 1.0))
+        dist = jnp.linalg.norm(t_new - last_kf_t)
+        is_kf = (dist > cfg.keyframe_dist) | (angle > cfg.keyframe_angle)
+
+        maps_new = update_maps(maps, feats, q_new, t_new, cfg)
+        maps_out = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                is_kf.reshape((1,) * new.ndim), new, old), maps_new, maps)
+        last_kf_q = jnp.where(is_kf, q_new, last_kf_q)
+        last_kf_t = jnp.where(is_kf, t_new, last_kf_t)
+
+        carry_new = (maps_out, q_new, t_new, q_d, t_d, last_kf_q, last_kf_t,
+                     n_kf + is_kf.astype(jnp.int32))
+        return carry_new, (t_new, q_new)
+
+    carry0 = (maps0, q0, t0, se3.quat_identity(dtype), jnp.zeros(3, dtype),
+              q0, t0, jnp.ones((), jnp.int32))
+    carry, (ts, qs) = jax.lax.scan(step, carry0,
+                                   (scans_xyzi[1:], scans_mask[1:]))
+    positions = jnp.concatenate([t0[None], ts], 0)
+    quats = jnp.concatenate([q0[None], qs], 0)
+    return LoamOutput(positions, quats, carry[-1])

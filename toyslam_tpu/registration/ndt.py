@@ -54,10 +54,16 @@ class NDTConfig(NamedTuple):
     search_method: str = "DIRECT7"  # DIRECT7 | DIRECT1 | DIRECT27
     max_step_iterations: int = 10
     min_covar_eigvalue_mult: float = 0.01
-    # Static capacity of the dense voxel-id -> slot lookup table. Grids
-    # larger than this lose voxels beyond the cap (masked out); 2^20 cells
-    # covers e.g. 100m x 100m x 100m at 1m resolution.
-    grid_capacity: int = 1 << 20
+    # Static capacity of the voxel-id -> slot lookup table. Addressed by
+    # ``vid & (grid_capacity - 1)``: exact for grids that fit, aliased (with
+    # id verification, so lookups stay correct but aliased voxels drop out
+    # of the map) for larger ones. TPU gathers scan the table, so SMALL
+    # tables are fast tables.
+    grid_capacity: int = 1 << 18
+    # Static number of voxel slots kept in the map (valid voxels are packed
+    # first; excess voxels beyond this are dropped). Single scans at 1 m
+    # resolution occupy a few thousand voxels.
+    map_capacity: int = 16384
 
 
 class NDTMap(NamedTuple):
@@ -76,6 +82,7 @@ class NDTMap(NamedTuple):
     div: jax.Array  # [3] int32
     div_mul: jax.Array  # [3] int32
     lut: jax.Array  # [grid_capacity] int32 slot index or -1
+    vid_of_slot: jax.Array  # [V] int32 linear voxel id per slot (verify)
     mean3: jax.Array  # [3, V]
     icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
     # Packed per-voxel stats [V, 16]: mean(3), icov sym(6), valid flag, pad.
@@ -163,23 +170,30 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     vid = jnp.where(mask, jnp.sum(ijk * div_mul, axis=-1), _INT_MAX).astype(jnp.int32)
 
     n = vid.shape[0]
+    V = config.map_capacity
     sorted_vid = jnp.sort(vid)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != _INT_MAX)
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    unique_ids = jnp.full((n,), _INT_MAX, jnp.int32)
-    unique_ids = unique_ids.at[jnp.where(first, pos, n)].set(sorted_vid, mode="drop")
-    slot = jnp.searchsorted(unique_ids, vid)
-    slot = jnp.minimum(slot, n - 1)
+    # Scatter unique ids straight into the [map_capacity] table; non-first
+    # entries and voxels beyond the capacity drop out-of-bounds. The result
+    # is sorted with INT32_MAX padding by construction.
+    unique_ids = jnp.full((V,), _INT_MAX, jnp.int32)
+    unique_ids = unique_ids.at[jnp.where(first, pos, V)].set(
+        sorted_vid, mode="drop"
+    )
+    slot = jnp.minimum(jnp.searchsorted(unique_ids, vid), V - 1)
+    # Points whose voxel fell outside the capacity don't match their slot id.
+    in_map = (unique_ids[slot] == vid) & mask
 
-    w = mask.astype(dtype)
-    px = jnp.where(mask, xyz[:, 0], 0.0)
-    py = jnp.where(mask, xyz[:, 1], 0.0)
-    pz = jnp.where(mask, xyz[:, 2], 0.0)
-    cnt = jax.ops.segment_sum(w, slot, num_segments=n)
+    w = in_map.astype(dtype)
+    px = jnp.where(in_map, xyz[:, 0], 0.0)
+    py = jnp.where(in_map, xyz[:, 1], 0.0)
+    pz = jnp.where(in_map, xyz[:, 2], 0.0)
+    cnt = jax.ops.segment_sum(w, slot, num_segments=V)
     cnt_safe = jnp.maximum(cnt, 1.0)
-    seg = lambda v: jax.ops.segment_sum(v, slot, num_segments=n)
+    seg = lambda v: jax.ops.segment_sum(v, slot, num_segments=V)
     mean_x = seg(px) / cnt_safe
     mean_y = seg(py) / cnt_safe
     mean_z = seg(pz) / cnt_safe
@@ -191,9 +205,9 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # from the origin, so we gather the mean back and accumulate centered
     # products — algebraically equal to the reference's
     # ((sum_pp - 2 sum_p mean^T)/n + mean mean^T) * (n-1)/n.
-    cx = jnp.where(mask, xyz[:, 0] - mean_x[slot], 0.0)
-    cy = jnp.where(mask, xyz[:, 1] - mean_y[slot], 0.0)
-    cz = jnp.where(mask, xyz[:, 2] - mean_z[slot], 0.0)
+    cx = jnp.where(in_map, xyz[:, 0] - mean_x[slot], 0.0)
+    cy = jnp.where(in_map, xyz[:, 1] - mean_y[slot], 0.0)
+    cz = jnp.where(in_map, xyz[:, 2] - mean_z[slot], 0.0)
     corr = (cnt_safe - 1.0) / (cnt_safe * cnt_safe)
     v00 = seg(cx * cx) * corr
     v01 = seg(cx * cy) * corr
@@ -255,6 +269,8 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         & icov_ok
     )
     vw = valid.astype(dtype)
+
+    # Per-slot arrays are already [map_capacity]-sized by construction.
     icov6 = jnp.stack([i00 * vw, i01 * vw, i02 * vw,
                        i11 * vw, i12 * vw, i22 * vw])
     mean3 = jnp.stack([mean_x, mean_y, mean_z])
@@ -265,16 +281,14 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         vw, zero, zero, zero, zero, zero, zero,
     ], axis=1)  # [V, 16]
 
-    # Dense lookup table: linear voxel id -> slot (-1 if empty or invalid).
-    lut = jnp.full((config.grid_capacity,), -1, jnp.int32)
-    scatter_ids = jnp.where(
-        valid & (unique_ids < config.grid_capacity) & (unique_ids >= 0),
-        unique_ids,
-        config.grid_capacity,  # out of bounds -> dropped
-    )
-    lut = lut.at[scatter_ids].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
+    # Masked-hash lookup table: h = vid & (cap - 1). Exact when the grid
+    # fits in the capacity; otherwise aliased ids are caught by comparing
+    # vid_of_slot at lookup (aliased losers simply leave the map).
+    cap = config.grid_capacity
+    h = unique_ids & (cap - 1)
+    lut = jnp.full((cap,), -1, jnp.int32)
+    scatter_h = jnp.where(valid & (unique_ids != _INT_MAX), h, cap)
+    lut = lut.at[scatter_h].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
 
     return NDTMap(
         unique_ids=unique_ids,
@@ -283,6 +297,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         div=div,
         div_mul=div_mul,
         lut=lut,
+        vid_of_slot=jnp.where(valid, unique_ids, _INT_MAX),
         mean3=mean3,
         icov6=icov6,
         table=table,
@@ -314,10 +329,11 @@ def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
     in_bounds = jnp.all((nijk >= 0) & (nijk < ndt_map.div), axis=-1)
     nvid = jnp.sum(nijk * ndt_map.div_mul, axis=-1)
     g_cap = ndt_map.lut.shape[0]
-    ok = in_bounds & (nvid >= 0) & (nvid < g_cap)
-    slot = ndt_map.lut[jnp.where(ok, nvid, 0)]
-    found = ok & (slot >= 0)
-    return jnp.maximum(slot, 0), found
+    ok = in_bounds & (nvid >= 0)
+    h = jnp.where(ok, nvid & (g_cap - 1), 0)
+    slot = jnp.maximum(ndt_map.lut[h], 0)
+    found = ok & (ndt_map.vid_of_slot[slot] == nvid)
+    return slot, found
 
 
 def _angle_tables(p, dtype):
@@ -457,10 +473,11 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     )
     nvid = nix + niy * div[0] + niz * (div[0] * div[1])
     g_cap = ndt_map.lut.shape[0]
-    ok = in_b & (nvid >= 0) & (nvid < g_cap)
-    slot = ndt_map.lut[jnp.where(ok, nvid, 0)]  # [NK] int gather
-    found = ok & (slot >= 0) & expand(src_mask)
-    slot = jnp.maximum(slot, 0)
+    ok = in_b & (nvid >= 0)
+    h = jnp.where(ok, nvid & (g_cap - 1), 0)
+    slot = jnp.maximum(ndt_map.lut[h], 0)  # [NK] int gather
+    found = (ok & (ndt_map.vid_of_slot[slot] == nvid)  # verify aliasing
+             & expand(src_mask))
 
     stats = ndt_map.table[slot]  # [NK, 16] row gather — the only big fetch
     mx, my, mz = stats[:, 0], stats[:, 1], stats[:, 2]
