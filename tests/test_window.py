@@ -1,0 +1,98 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toyslam_tpu.core import se3
+from toyslam_tpu.estimators import window, preintegration
+from toyslam_tpu.estimators.factors import NavState
+from toyslam_tpu.sim import trajectories, sensors
+
+
+def _run_smoother(n_kf=30, imu_per_kf=50, hz=200.0, seed=0,
+                  cfg=window.WindowConfig(window_size=10, gn_iterations=5,
+                                          pos_sigma=0.05)):
+    dt = 1.0 / hz
+    T = n_kf * imu_per_kf
+    t = (jnp.arange(T, dtype=jnp.float64) + 1) * dt
+    traj = trajectories.circle(t, radius=3.0, omega=0.4)
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    acc, gyro = sensors.simulate_imu(k1, traj)
+    kf_idx = jnp.arange(imu_per_kf - 1, T, imu_per_kf)
+    meas = traj["pos"][kf_idx] + 0.05 * jax.random.normal(
+        k2, (n_kf, 3), jnp.float64)
+
+    win = window.window_init(cfg, jnp.float64)
+    params = preintegration.PreintegrationParams(acc_noise=0.03,
+                                                 gyro_noise=0.002)
+    gw = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+
+    est_p, gt_p, est_v = [], [], []
+    # Orientation initialization: the reference seeds and pins attitude via
+    # its prior/alignment factor family; here we emulate a well-initialized
+    # system by using the (noisy-gyro-consistent) chunk-start attitude for
+    # gravity compensation, as createKeyframe does with its propagated
+    # orientation (:3905-3915).
+    for k in range(n_kf):
+        lo, hi = k * imu_per_kf, (k + 1) * imu_per_kf
+        q_start = traj["quat"][lo] if k > 0 else trajectories.circle(
+            jnp.zeros((), jnp.float64), 3.0, 0.4)["quat"]
+        R_T = se3.quat_to_rot(se3.quat_conjugate(q_start))
+        pre = preintegration.preintegrate(
+            acc[lo:hi], gyro[lo:hi], jnp.full((imu_per_kf,), dt, jnp.float64),
+            jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64),
+            gravity_sensor=R_T @ gw, params=params)
+
+        guess = NavState(
+            p=meas[k], q=traj["quat"][hi - 1], v=jnp.zeros(3, jnp.float64),
+            ba=jnp.zeros(3, jnp.float64), bg=jnp.zeros(3, jnp.float64))
+        win = window.window_push(
+            win, guess, jnp.asarray(float(k), jnp.float64), meas[k],
+            jnp.asarray(True), pre, jnp.asarray(imu_per_kf * dt, jnp.float64),
+            cfg)
+        win = window.window_optimize(win, cfg)
+
+        newest = int(win.count) - 1
+        est = jax.tree_util.tree_map(lambda x: x[newest], win.states)
+        est_p.append(np.asarray(est.p))
+        est_v.append(np.asarray(est.v))
+        gt_p.append(np.asarray(traj["pos"][kf_idx[k]]))
+    return np.stack(est_p), np.stack(gt_p), np.stack(est_v), win
+
+
+@pytest.mark.slow
+def test_window_smoother_tracks_and_marginalizes():
+    est_p, gt_p, est_v, win = _run_smoother()
+    err = np.linalg.norm(est_p - gt_p, axis=1)
+    rmse = np.sqrt(np.mean(err[5:] ** 2))
+    assert rmse < 0.08, f"window smoother RMSE {rmse}"
+    # Marginalization must have happened (30 keyframes > window 10)
+    assert bool(win.prior_valid)
+    assert int(win.count) == 10
+    # Velocity should be tracked thanks to IMU factors (circle: |v|=1.2)
+    speed = np.linalg.norm(est_v[-10:], axis=1)
+    assert np.median(np.abs(speed - 1.2)) < 0.5, speed
+
+
+def test_window_push_fill_behavior():
+    cfg = window.WindowConfig(window_size=4, gn_iterations=2)
+    win = window.window_init(cfg, jnp.float64)
+    pre = jax.tree_util.tree_map(
+        lambda x: x[0], window._empty_preint(1, jnp.float64))
+    g = NavState(p=jnp.zeros(3, jnp.float64),
+                 q=se3.quat_identity(jnp.float64),
+                 v=jnp.zeros(3, jnp.float64),
+                 ba=jnp.zeros(3, jnp.float64), bg=jnp.zeros(3, jnp.float64))
+    for k in range(6):
+        win = window.window_push(
+            win, g._replace(p=jnp.asarray([float(k), 0.0, 0.0])),
+            jnp.asarray(float(k), jnp.float64),
+            jnp.asarray([float(k), 0.0, 0.0], jnp.float64),
+            jnp.asarray(True), pre, jnp.asarray(0.5, jnp.float64), cfg)
+    assert int(win.count) == 4
+    assert bool(win.prior_valid)
+    # Oldest kept keyframe is #2 (0 and 1 marginalized out)
+    np.testing.assert_allclose(np.asarray(win.meas_p[0]), [2.0, 0, 0])
+    np.testing.assert_allclose(np.asarray(win.timestamps[:4]),
+                               [2.0, 3.0, 4.0, 5.0])
