@@ -1,0 +1,44 @@
+import numpy as np
+import jax.numpy as jnp
+
+from toyslam_tpu.core import pointcloud, se3
+from toyslam_tpu.registration import gicp
+
+
+def _structured_cloud(rng, n=1500):
+    floor = np.stack([rng.uniform(-10, 10, n // 2), rng.uniform(-10, 10, n // 2),
+                      0.02 * rng.normal(size=n // 2)], 1)
+    wall = np.stack([rng.uniform(-10, 10, n // 2),
+                     np.full(n // 2, 5.0) + 0.02 * rng.normal(size=n // 2),
+                     rng.uniform(0, 4, n // 2)], 1)
+    return np.concatenate([floor, wall], 0)
+
+
+def test_covariances_are_plane_regularized(rng):
+    pts = _structured_cloud(rng)
+    C = gicp.compute_covariances(
+        jnp.asarray(pts, jnp.float64), jnp.ones(len(pts), bool), 20, 0.001)
+    C = np.asarray(C)
+    evals = np.linalg.eigvalsh(C)
+    # Every covariance must have eigenvalues ~ (0.001, 1, 1)
+    np.testing.assert_allclose(evals[:, 0], 0.001, atol=1e-6)
+    np.testing.assert_allclose(evals[:, 1:], 1.0, atol=1e-6)
+    # Floor points: smallest eigenvector ~ z
+    idx = np.argmin(np.abs(pts[:, 2]))
+    _, v = np.linalg.eigh(C[idx])
+    assert abs(v[2, 0]) > 0.95  # normal is z for a floor point
+
+
+def test_gicp_recovers_transform(rng):
+    pts = _structured_cloud(rng)
+    true_p = np.array([0.3, -0.2, 0.1, 0.01, -0.02, 0.05])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    src_pts = (pts - T_true[:3, 3]) @ T_true[:3, :3]
+
+    target = pointcloud.from_numpy(pts, dtype=jnp.float32)
+    source = pointcloud.from_numpy(src_pts, dtype=jnp.float32)
+    res = gicp.gicp_align(source, target)
+    T = np.asarray(res.transform)
+    assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.03, T
+    assert np.abs(T[:3, :3] - T_true[:3, :3]).max() < 0.01
+    assert float(res.error) < 0.01

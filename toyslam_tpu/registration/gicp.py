@@ -1,0 +1,197 @@
+"""Generalized ICP (plane-to-plane), TPU-native.
+
+Capability port of ``pclomp::GeneralizedIterativeClosestPoint``
+(``ndt_omp/include/pclomp/gicp_omp.h`` + ``gicp_omp_impl.hpp``):
+
+- Per-point covariances from k=20 nearest neighbors with Segal's
+  (epsilon, 1, 1) plane regularization (``computeCovariances``,
+  ``gicp_omp_impl.hpp:48-124``; defaults ``gicp_omp.h:119-127``:
+  k_correspondences 20, gicp_epsilon 0.001).
+- Mahalanobis-weighted correspondences M = (C_B + R C_A R^T)^-1
+  (``impl:425-436``).
+- The inner optimizer: the reference uses BFGS over 6-dof with analytic
+  gradients (``estimateRigidTransformationBFGS``, ``impl:180-372``); here a
+  damped Gauss-Newton over the same plane-to-plane objective — identical
+  cost function, TPU-friendly fixed-iteration solver.
+
+TPU design: k-NN is one MXU distance matrix + top_k; covariances use the
+closed-form SoA eigensolver; the whole align is one jittable program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.core import se3
+from toyslam_tpu.core.pointcloud import PointCloud
+from toyslam_tpu.ops.eigh3 import eigh3_soa
+
+_HP = jax.lax.Precision.HIGHEST
+_BIG = 1.0e9
+
+
+class GICPConfig(NamedTuple):
+    k_correspondences: int = 20  # gicp_omp.h:119
+    gicp_epsilon: float = 0.001  # gicp_omp.h:123
+    max_correspondence_distance: float = 5.0  # pcl default
+    max_iterations: int = 20  # outer loop
+    inner_iterations: int = 8  # GN steps per correspondence set
+    transformation_epsilon: float = 5e-4  # gicp_omp.h region
+    rotation_epsilon: float = 2e-3
+    damping: float = 1e-6
+
+
+class GICPResult(NamedTuple):
+    transform: jax.Array
+    converged: jax.Array
+    iterations: jax.Array
+    error: jax.Array
+
+
+def compute_covariances(xyz, mask, k: int, epsilon: float):
+    """Segal regularized covariances: eigenvalues -> (eps, 1, 1)
+    (``computeCovariances``, ``gicp_omp_impl.hpp:48-124``)."""
+    d = (
+        jnp.sum(xyz * xyz, 1)[:, None]
+        - 2.0 * jnp.matmul(xyz, xyz.T, precision=_HP)
+        + jnp.sum(xyz * xyz, 1)[None, :]
+    )
+    d = jnp.where(mask[None, :], d, _BIG)
+    _, idx = jax.lax.top_k(-d, k)  # includes self (d=0)
+    nn = xyz[idx]  # [N, k, 3]
+    mean = jnp.mean(nn, axis=1)
+    c = nn - mean[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", c, c, precision=_HP) / k
+
+    (l0, l1, l2), vec = eigh3_soa(
+        cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+        cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2],
+    )
+    # Recompose with eigenvalues (epsilon, 1, 1) — ascending order
+    e = jnp.asarray(epsilon, xyz.dtype)
+
+    def recompose(i, j):
+        return (e * vec[i * 3 + 0] * vec[j * 3 + 0]
+                + vec[i * 3 + 1] * vec[j * 3 + 1]
+                + vec[i * 3 + 2] * vec[j * 3 + 2])
+
+    C = jnp.stack([
+        jnp.stack([recompose(0, 0), recompose(0, 1), recompose(0, 2)], -1),
+        jnp.stack([recompose(0, 1), recompose(1, 1), recompose(1, 2)], -1),
+        jnp.stack([recompose(0, 2), recompose(1, 2), recompose(2, 2)], -1),
+    ], -2)  # [N, 3, 3]
+    return jnp.where(mask[:, None, None], C, jnp.eye(3, dtype=xyz.dtype))
+
+
+def gicp_align(source: PointCloud, target: PointCloud, guess=None,
+               config: GICPConfig = GICPConfig()) -> GICPResult:
+    dtype = source.xyzi.dtype
+    src = source.xyzi[:, :3]
+    tgt = target.xyzi[:, :3]
+    if guess is None:
+        guess = jnp.eye(4, dtype=dtype)
+
+    C_src = compute_covariances(src, source.mask,
+                                config.k_correspondences, config.gicp_epsilon)
+    C_tgt = compute_covariances(tgt, target.mask,
+                                config.k_correspondences, config.gicp_epsilon)
+    tgt_sq = jnp.sum(tgt * tgt, 1)
+    tgt_sq = jnp.where(target.mask, tgt_sq, _BIG)
+    max_d2 = config.max_correspondence_distance ** 2
+
+    def inverse3(M):
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        e, f = M[..., 1, 1], M[..., 1, 2]
+        i = M[..., 2, 2]
+        A = e * i - f * f
+        B = -(b * i - f * c)
+        C_ = b * f - e * c
+        det = a * A + b * B + c * C_
+        inv = 1.0 / det
+        out = jnp.stack([
+            jnp.stack([A, B, C_], -1),
+            jnp.stack([B, a * i - c * c, -(a * f - b * c)], -1),
+            jnp.stack([C_, -(a * f - b * c), a * e - b * b], -1),
+        ], -2)
+        return out * inv[..., None, None]
+
+    def outer_body(carry):
+        T, it, _conv, _err = carry
+        R = T[:3, :3]
+        moved = jnp.matmul(src, R.T, precision=_HP) + T[:3, 3]
+        d = (
+            jnp.sum(moved * moved, 1)[:, None]
+            - 2.0 * jnp.matmul(moved, tgt.T, precision=_HP)
+            + tgt_sq[None, :]
+        )
+        nn_d, nn_i = jax.lax.top_k(-d, 1)
+        nn_i = nn_i[:, 0]
+        nn_d = -nn_d[:, 0]
+        corr_ok = source.mask & (nn_d < max_d2)
+
+        q = tgt[nn_i]  # matched target points
+        C_b = C_tgt[nn_i]
+
+        # Mahalanobis M = (C_B + R C_A R^T)^-1 per pair (``impl:425-436``)
+        RCA = jnp.einsum("ij,njk,lk->nil", R, C_src, R, precision=_HP)
+        Minv = C_b + RCA
+        M = inverse3(Minv)
+        w = corr_ok.astype(dtype)
+
+        def gn_body(_, Tin):
+            Rn = Tin[:3, :3]
+            tn = Tin[:3, 3]
+            p_t = jnp.matmul(src, Rn.T, precision=_HP) + tn
+            r = p_t - q  # [N, 3]
+            Mr = jnp.einsum("nij,nj->ni", M, r, precision=_HP)
+            # J wrt [t, theta] (left perturbation): dr/dt = I,
+            # dr/dtheta = -[R p]x
+            Rp = jnp.matmul(src, Rn.T, precision=_HP)
+            # A = sum_n J^T M J, g = sum_n J^T M r
+            # translation block: sum M; cross terms via skew
+            # Build per-point J^T M rows using component form:
+            # (J^T M r)_t = Mr ; (J^T M r)_theta = Rp x Mr
+            g_t = jnp.sum(Mr * w[:, None], axis=0)
+            g_r = jnp.sum(jnp.cross(Rp, Mr) * w[:, None], axis=0)
+            g = jnp.concatenate([g_t, g_r])
+
+            # Hessian: [[sum M, sum M S^T],[sum S M, sum S M S^T]] with
+            # S = skew(Rp) acting as J_theta = -S
+            S = se3.skew(Rp)  # [N, 3, 3]
+            # J_theta = -S, so A_tr = M J_theta = -M S = M S^T (S skew)
+            MS = jnp.einsum("nij,nkj->nik", M, S, precision=_HP)  # M S^T
+            A_tt = jnp.einsum("n,nij->ij", w, M, precision=_HP)
+            A_tr = jnp.einsum("n,nik->ik", w, MS, precision=_HP)
+            SM = jnp.einsum("nij,njk->nik", S, M, precision=_HP)
+            A_rr = jnp.einsum("n,nij,nkj->ik", w, SM, S, precision=_HP)
+            A = jnp.block([[A_tt, A_tr], [A_tr.T, A_rr]])
+            A = A + config.damping * jnp.eye(6, dtype=dtype)
+            dx = -jnp.linalg.solve(A, g)
+            T_new = se3.make_transform(
+                se3.so3_exp(dx[3:6]) @ Rn, tn + dx[:3])
+            return T_new
+
+        T_new = jax.lax.fori_loop(0, config.inner_iterations, gn_body, T)
+
+        # Convergence on transform change (``transformation_epsilon``)
+        dT = jnp.abs(T_new - T)
+        conv = (jnp.max(dT[:3, 3]) < config.transformation_epsilon) & (
+            jnp.max(dT[:3, :3]) < config.rotation_epsilon)
+        r_final = jnp.matmul(src, T_new[:3, :3].T, precision=_HP) + T_new[:3, 3] - q
+        err = jnp.sum(jnp.sum(r_final * r_final, -1) * w) / jnp.maximum(
+            jnp.sum(w), 1.0)
+        return (T_new, it + 1, conv, err)
+
+    def outer_cond(carry):
+        _T, it, conv, _err = carry
+        return (~conv) & (it < config.max_iterations)
+
+    T, it, conv, err = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (guess.astype(dtype), jnp.zeros((), jnp.int32), jnp.asarray(False),
+         jnp.asarray(jnp.inf, dtype)),
+    )
+    return GICPResult(transform=T, converged=conv, iterations=it, error=err)

@@ -475,11 +475,18 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     g_cap = ndt_map.lut.shape[0]
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
+    # optimization_barrier: keep each gather a standalone op. Fused into the
+    # surrounding elementwise graph, XLA's TPU gather lowering re-scans the
+    # table per output tile (measured 4-77 GB of traffic per evaluation);
+    # isolated gathers take the fast path.
+    h = jax.lax.optimization_barrier(h)
     slot = jnp.maximum(ndt_map.lut[h], 0)  # [NK] int gather
+    slot = jax.lax.optimization_barrier(slot)
     found = (ok & (ndt_map.vid_of_slot[slot] == nvid)  # verify aliasing
              & expand(src_mask))
 
-    stats = ndt_map.table[slot]  # [NK, 16] row gather — the only big fetch
+    stats = jax.lax.optimization_barrier(
+        ndt_map.table[slot])  # [NK, 16] row gather — the only big fetch
     mx, my, mz = stats[:, 0], stats[:, 1], stats[:, 2]
     cxx, cxy, cxz = stats[:, 3], stats[:, 4], stats[:, 5]
     cyy, cyz, czz = stats[:, 6], stats[:, 7], stats[:, 8]
