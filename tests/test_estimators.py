@@ -163,3 +163,32 @@ def test_preintegration_bias_jacobian():
     q_err = se3.quat_multiply(
         se3.quat_conjugate(pred.delta_q), pre1.delta_q)
     assert abs(float(q_err[0])) > 1.0 - 1e-5  # rotations agree to ~1e-3 rad
+
+
+def test_deadreckon_calibration_and_static():
+    from toyslam_tpu.estimators import deadreckon
+
+    rng = np.random.default_rng(7)
+    # Tilted stationary IMU: gravity in body frame + bias + noise
+    from scipy.spatial.transform import Rotation
+    R_true = Rotation.from_euler("XYZ", [0.1, -0.05, 0.3]).as_matrix()
+    g_body = R_true.T @ np.array([0, 0, 9.81])
+    true_gyro_bias = np.array([0.01, -0.02, 0.005])
+    T = 400
+    acc = g_body + 0.001 * rng.normal(size=(T, 3))
+    gyro = true_gyro_bias + 0.0005 * rng.normal(size=(T, 3))
+
+    gb, ab, q0 = deadreckon.calibrate_stationary(
+        jnp.asarray(acc, jnp.float64), jnp.asarray(gyro, jnp.float64))
+    np.testing.assert_allclose(np.asarray(gb), true_gyro_bias, atol=1e-4)
+    # q0 must map body gravity direction to world up
+    up = se3.quat_rotate(q0, jnp.asarray(g_body / 9.81, jnp.float64))
+    np.testing.assert_allclose(np.asarray(up), [0, 0, 1], atol=1e-3)
+
+    # Dead-reckoning a static stream must stay ~at the origin (ZUPT)
+    dt = jnp.full((T,), 0.01, jnp.float64)
+    ps, vs, qs = deadreckon.dead_reckon(
+        jnp.asarray(acc, jnp.float64), jnp.asarray(gyro, jnp.float64),
+        dt, gb, ab, q0)
+    assert np.linalg.norm(np.asarray(ps[-1])) < 0.1
+    assert np.linalg.norm(np.asarray(vs[-1])) < 0.05

@@ -1,0 +1,59 @@
+import numpy as np
+
+from toyslam_tpu.core import pcd_io
+from toyslam_tpu.runtime import loader, native
+
+
+def test_native_lib_builds_and_lzf():
+    assert native.available()
+    data = bytes(range(25)) * 4
+    stream = b""
+    for i in range(0, len(data), 30):
+        chunk = data[i:i + 30]
+        stream += bytes([len(chunk) - 1]) + chunk
+    assert native.lzf_decompress(stream, len(data)) == data
+
+
+def test_native_extract_xyzi(rng):
+    pts = rng.normal(size=(100, 4)).astype(np.float32)
+    raw = pts.tobytes()
+    out = native.extract_xyzi(raw, 100, 16, 0, 4, 8, 12)
+    np.testing.assert_array_equal(out, pts)
+
+
+def test_scan_stack_loader(tmp_path, rng):
+    paths = []
+    for i in range(5):
+        pts = rng.normal(size=(50 + i * 10, 4)).astype(np.float32)
+        p = tmp_path / f"cloud_{i}.pcd"
+        pcd_io.write_pcd(p, pts)
+        paths.append(p)
+    # numeric sort handles cloud_10 < cloud_2 correctly
+    pcd_io.write_pcd(tmp_path / "cloud_10.pcd",
+                     rng.normal(size=(30, 4)).astype(np.float32))
+    files = loader.list_scan_files(tmp_path)
+    assert [f.stem for f in files] == [f"cloud_{i}" for i in [0, 1, 2, 3, 4, 10]]
+
+    xyzi, mask = loader.load_scan_stack(files, capacity=128)
+    assert xyzi.shape == (6, 128, 4)
+    assert mask[0].sum() == 50 and mask[4].sum() == 90 and mask[5].sum() == 30
+
+
+def test_directory_watcher(tmp_path, rng):
+    w = loader.DirectoryWatcher(tmp_path)
+    assert w.poll() == []
+    pcd_io.write_pcd(tmp_path / "cloud_0.pcd", rng.normal(size=(10, 4)).astype(np.float32))
+    fresh = w.poll()
+    assert len(fresh) == 1
+    assert w.poll() == []
+
+
+def test_scan_stream(tmp_path, rng):
+    for i in range(3):
+        pcd_io.write_pcd(tmp_path / f"cloud_{i}.pcd",
+                         (rng.normal(size=(20, 4))).astype(np.float32))
+    stream = loader.ScanStream(loader.list_scan_files(tmp_path), capacity=32)
+    scans = list(stream)
+    assert len(scans) == 3
+    assert scans[0][0].shape == (32, 4)
+    assert int(np.asarray(scans[0][1]).sum()) == 20

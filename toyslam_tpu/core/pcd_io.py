@@ -33,7 +33,20 @@ def _parse_header(data: bytes):
 
 
 def _lzf_decompress(src: bytes, expected: int) -> bytes:
-    """Pure-python LZF decompression (PCL binary_compressed payloads)."""
+    """LZF decompression (PCL binary_compressed payloads).
+
+    Uses the native C implementation (native/libpcdio.so) when available —
+    ~100x faster and GIL-releasing for threaded loaders — with a pure-python
+    fallback.
+    """
+    try:
+        from toyslam_tpu.runtime import native
+
+        out = native.lzf_decompress(src, expected)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     out = bytearray()
     i, n = 0, len(src)
     while i < n and len(out) < expected:

@@ -1,0 +1,80 @@
+"""ctypes bindings to the native host runtime (native/libpcdio.so).
+
+Builds the library on first use if the toolchain is available; all entry
+points degrade gracefully to pure-Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libpcdio.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.lzf_decompress.restype = ctypes.c_long
+        lib.lzf_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.extract_xyzi.restype = ctypes.c_long
+        lib.extract_xyzi.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.extract_xyzi_soa.restype = ctypes.c_long
+        lib.extract_xyzi_soa.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def lzf_decompress(src: bytes, expected_len: int) -> bytes | None:
+    """Native LZF decompression; None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * expected_len)()
+    n = lib.lzf_decompress(src, len(src), out, expected_len)
+    if n < 0:
+        raise ValueError("corrupt LZF stream")
+    return bytes(out[:n])
+
+
+def extract_xyzi(data: bytes, n_points: int, record_size: int,
+                 x_off: int, y_off: int, z_off: int, i_off: int):
+    """Fused AoS field extraction -> float32 [n, 4]; None if unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((n_points, 4), np.float32)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    lib.extract_xyzi(buf, n_points, record_size, x_off, y_off, z_off, i_off,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
