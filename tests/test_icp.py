@@ -40,3 +40,32 @@ def test_icp_with_noise_and_padding(rng):
     T = np.asarray(result.transform)
     assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.05
     assert np.abs(T[:3, :3] - T_true[:3, :3]).max() < 0.02
+
+
+def test_icp_slam_pipeline(rng):
+    """Incremental mapping over translated frames (icpslam.py scenario)."""
+    import jax
+    from toyslam_tpu.pipelines import icp_slam
+
+    base = rng.uniform(-5, 5, size=(400, 3))
+    S = 4
+    cap = 512
+    xyzi = np.full((S, cap, 4), 1e9, np.float32)
+    mask = np.zeros((S, cap), bool)
+    true_t = []
+    for i in range(S):
+        shift = np.array([0.1 * i, 0.05 * i, 0.0])
+        # scan in the sensor frame: world points seen from a sensor at +shift
+        pts = base - shift + 0.002 * rng.normal(size=base.shape)
+        xyzi[i, :400, :3] = pts
+        xyzi[i, :400, 3] = 0
+        mask[i, :400] = True
+        true_t.append(shift)
+
+    cfg = icp_slam.IcpSlamConfig(map_capacity=2048, map_leaf=0.3)
+    out = jax.jit(icp_slam.icp_slam, static_argnums=2)(
+        jnp.asarray(xyzi), jnp.asarray(mask), cfg)
+    est_t = np.asarray(out.poses)[:, :3, 3]
+    err = np.linalg.norm(est_t - np.stack(true_t), axis=1)
+    assert err.max() < 0.15, err
+    assert int(np.asarray(out.map_mask).sum()) > 100
