@@ -1,0 +1,64 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.pipelines import fusion, odometry as odo
+from toyslam_tpu.registration import ndt
+from toyslam_tpu.parallel import batch as pbatch
+from toyslam_tpu.sim import sensors
+
+
+def _fusion_inputs(rng, S=3, N=800, R=20):
+    """Static scene + stationary-ish platform: identity odometry expected."""
+    base = np.concatenate([
+        np.stack([rng.uniform(-8, 8, N // 2), rng.uniform(-8, 8, N // 2),
+                  0.05 * rng.normal(size=N // 2)], 1),
+        np.stack([rng.uniform(-8, 8, N - N // 2),
+                  np.full(N - N // 2, 4.0) + 0.05 * rng.normal(size=N - N // 2),
+                  rng.uniform(0, 3, N - N // 2)], 1),
+    ], 0)
+    xyzi = np.full((S, N, 4), 1e9, np.float32)
+    mask = np.ones((S, N), bool)
+    for i in range(S):
+        xyzi[i, :, :3] = base + 0.01 * rng.normal(size=base.shape)
+        xyzi[i, :, 3] = 0
+
+    T = S * R
+    g = np.array([0, 0, 9.81])
+    acc = np.tile(g, (T, 1)) + 0.01 * rng.normal(size=(T, 3))
+    gyro = 0.001 * rng.normal(size=(T, 3))
+    dt = np.full((T,), 0.01, np.float32)
+    return (jnp.asarray(xyzi), jnp.asarray(mask),
+            jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
+            jnp.asarray(dt))
+
+
+def _small_cfg(R=20):
+    return fusion.FusionConfig(
+        odometry=odo.OdometryConfig(
+            ndt=ndt.NDTConfig(resolution=1.0, max_iterations=10,
+                              map_capacity=2048, grid_capacity=1 << 14),
+            scan_leaf=0.5, work_capacity=1024),
+        imu_per_scan=R,
+    )
+
+
+def test_fused_pipeline_stationary(rng):
+    scans, masks, acc, gyro, dt = _fusion_inputs(rng)
+    out = jax.jit(fusion.ndt_eskf_fusion, static_argnums=5)(
+        scans, masks, acc, gyro, dt, _small_cfg())
+    assert bool(np.asarray(out.converged).all())
+    # Stationary platform: fused positions stay near origin
+    p = np.asarray(out.fused_p)
+    assert np.isfinite(p).all()
+    assert np.linalg.norm(p[-1]) < 0.5, p[-1]
+
+
+def test_sharded_fusion_over_mesh(rng):
+    B = 8
+    parts = [_fusion_inputs(rng, S=2, N=400, R=10) for _ in range(B)]
+    stacked = [jnp.stack([p[i] for p in parts]) for i in range(5)]
+    mesh = pbatch.make_mesh(8)
+    out = pbatch.sharded_fusion(mesh, *stacked, config=_small_cfg(R=10))
+    assert out.fused_p.shape == (B, 20, 3)
+    assert np.isfinite(np.asarray(out.fused_p)).all()

@@ -52,7 +52,8 @@ def _synthetic_constellation(rng, n_sats=8, clock_bias=123.4):
     return rec, sat_pos, pr, el
 
 
-def test_spp_recovers_position(rng):
+def test_spp_recovers_position():
+    rng = np.random.default_rng(11)
     rec, sat_pos, pr, el = _synthetic_constellation(rng)
     S = len(pr)
     obs = spp.SatelliteObs(
@@ -72,7 +73,8 @@ def test_spp_recovers_position(rng):
     assert float(sol.gdop) < 10.0
 
 
-def test_spp_with_noise_and_atmosphere(rng):
+def test_spp_with_noise_and_atmosphere():
+    rng = np.random.default_rng(12)
     rec, sat_pos, pr, el = _synthetic_constellation(rng, n_sats=10)
     S = len(pr)
     iono = 2.0 + rng.uniform(0, 3, S)
@@ -93,7 +95,8 @@ def test_spp_with_noise_and_atmosphere(rng):
     assert err < 5.0, f"SPP error {err} m with 1 m noise"
 
 
-def test_doppler_velocity(rng):
+def test_doppler_velocity():
+    rng = np.random.default_rng(13)
     rec, sat_pos, pr, el = _synthetic_constellation(rng)
     S = len(pr)
     true_vel = np.array([5.0, -3.0, 1.0])

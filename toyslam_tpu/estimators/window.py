@@ -368,3 +368,34 @@ def window_push(win: SlidingWindow, state_guess: NavState, timestamp,
         lin_ba=set_at(win.lin_ba, jnp.maximum(i - 1, 0), prev_state.ba),
         lin_bg=set_at(win.lin_bg, jnp.maximum(i - 1, 0), prev_state.bg),
     )
+
+
+def reset_to_measurement(win: SlidingWindow, meas_p,
+                         config: WindowConfig = WindowConfig()) -> SlidingWindow:
+    """Divergence recovery (``resetStateToUwb/Gps``, ``uwb_imu_batch_node.cpp:
+    4135-4287``): snap the newest state's position to the raw measurement,
+    zero velocity and biases, and drop the marginalization prior (history is
+    no longer trustworthy)."""
+    i = jnp.maximum(win.count - 1, 0)
+    states = win.states
+    dtype = states.p.dtype
+    states = states._replace(
+        p=states.p.at[i].set(meas_p),
+        v=states.v.at[i].set(jnp.zeros(3, dtype)),
+        ba=states.ba.at[i].set(jnp.zeros(3, dtype)),
+        bg=states.bg.at[i].set(jnp.zeros(3, dtype)),
+    )
+    return win._replace(
+        states=states,
+        prior_valid=jnp.asarray(False),
+        prior_sqrt_info=jnp.zeros_like(win.prior_sqrt_info),
+        prior_r0=jnp.zeros_like(win.prior_r0),
+    )
+
+
+def window_is_diverged(win: SlidingWindow, meas_p,
+                       max_position_error: float = 5.0):
+    """Divergence test (PositionDriftFactor limit, ``uwb_imu_node.cpp:
+    595-604``): newest state too far from the raw measurement."""
+    i = jnp.maximum(win.count - 1, 0)
+    return jnp.linalg.norm(win.states.p[i] - meas_p) > max_position_error

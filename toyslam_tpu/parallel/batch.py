@@ -74,3 +74,24 @@ def sharded_odometry(mesh: Mesh, scans_xyzi, scans_mask,
         check_vma=False,
     )
     return fn(scans_xyzi, scans_mask)
+
+
+def sharded_fusion(mesh: Mesh, scans_xyzi, scans_mask, imu_acc, imu_gyro,
+                   imu_dt, config=None, axis: str = "data"):
+    """Shard the fused NDT+ESKF pipeline over independent sequences.
+
+    All inputs carry a leading batch dim divisible by the mesh size.
+    (BASELINE config 5: 64-way batched odometry + EKF fusion.)
+    """
+    from toyslam_tpu.pipelines import fusion as fus
+
+    cfg = config or fus.FusionConfig()
+    batched = jax.vmap(partial(fus.ndt_eskf_fusion, config=cfg))
+    fn = jax.shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(scans_xyzi, scans_mask, imu_acc, imu_gyro, imu_dt)

@@ -40,6 +40,10 @@ class OdometryConfig(NamedTuple):
     scan_leaf: float = 0.3  # per-scan downsample (``:88``)
     map_leaf: float = 0.5  # global-map re-filter (``:153``)
     warm_start: bool = True  # align(prev_transform) (``:130``)
+    # Static capacity of the downsampled working clouds inside the scan
+    # loop. 0.3 m-leaf urban scans hold ~4-15k points; keeping the full raw
+    # capacity would make every registration process dead padded lanes.
+    work_capacity: int = 16384
 
 
 class OdometryOutput(NamedTuple):
@@ -51,11 +55,14 @@ class OdometryOutput(NamedTuple):
 
 
 def _scan_step(cfg: OdometryConfig):
+    from toyslam_tpu.core.pointcloud import shrink_to
+
     def step(carry, scan):
         prev_ds, pose, prev_T = carry
         xyzi, mask = scan
         cur = PointCloud(xyzi, mask)
-        cur_ds = voxel_downsample(cur, cfg.scan_leaf)
+        cur_ds = shrink_to(voxel_downsample(cur, cfg.scan_leaf),
+                           cfg.work_capacity)
 
         m = ndt.build_ndt_map(prev_ds, cfg.ndt)
         guess = prev_T if cfg.warm_start else jnp.eye(4, dtype=xyzi.dtype)
@@ -81,8 +88,11 @@ def ndt_odometry(scans_xyzi, scans_mask, config: OdometryConfig = OdometryConfig
     if initial_pose is None:
         initial_pose = jnp.eye(4, dtype=dtype)
 
+    from toyslam_tpu.core.pointcloud import shrink_to
+
     first = PointCloud(scans_xyzi[0], scans_mask[0])
-    first_ds = voxel_downsample(first, config.scan_leaf)
+    first_ds = shrink_to(voxel_downsample(first, config.scan_leaf),
+                         config.work_capacity)
     eye = jnp.eye(4, dtype=dtype)
 
     carry0 = (first_ds, initial_pose.astype(dtype), eye)
@@ -115,8 +125,11 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
     dtype = scans_xyzi.dtype
     N = scans_xyzi.shape[1]
 
+    from toyslam_tpu.core.pointcloud import shrink_to
+
     first = PointCloud(scans_xyzi[0], scans_mask[0])
-    first_ds = voxel_downsample(first, config.scan_leaf)
+    first_ds = shrink_to(voxel_downsample(first, config.scan_leaf),
+                         config.work_capacity)
 
     map0 = voxel_downsample(first_ds, config.map_leaf)
     from toyslam_tpu.core.pointcloud import pad_to

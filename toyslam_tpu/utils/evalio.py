@@ -172,3 +172,39 @@ class MetricsLogger:
             return []
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+def compare_solutions(traj_a: Trajectory, traj_b: Trajectory):
+    """EvaPos-style comparison of two solutions ("Baseline vs Proposed",
+    ``ICP/EvaPos.py:40-89``) — headless: returns the numbers the plots show.
+
+    Interpolates B onto A's timestamps; returns dict of ErrorStats for
+    position components, horizontal/3D error, velocity and yaw difference.
+    """
+    import jax.numpy as jnp
+
+    tb = traj_b.time
+    out = {}
+    interp = lambda col: np.interp(traj_a.time, tb, col)
+    pos_b = np.stack([interp(traj_b.pos[:, i]) for i in range(3)], -1)
+    vel_b = np.stack([interp(traj_b.vel[:, i]) for i in range(3)], -1)
+
+    d = traj_a.pos - pos_b
+    out["pos_x"] = error_stats(np.abs(d[:, 0]))
+    out["pos_y"] = error_stats(np.abs(d[:, 1]))
+    out["pos_z"] = error_stats(np.abs(d[:, 2]))
+    out["pos_2d"] = error_stats(np.linalg.norm(d[:, :2], axis=1))
+    out["pos_3d"] = error_stats(np.linalg.norm(d, axis=1))
+    out["vel_3d"] = error_stats(
+        np.linalg.norm(traj_a.vel - vel_b, axis=1))
+
+    # Yaw from quaternions (EvaPos converts to Euler for comparison)
+    def yaw_of(q):
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        return np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+
+    yaw_a = yaw_of(traj_a.quat)
+    yaw_b = np.interp(traj_a.time, tb, np.unwrap(yaw_of(traj_b.quat)))
+    dyaw = np.mod(yaw_a - yaw_b + np.pi, 2 * np.pi) - np.pi
+    out["yaw"] = error_stats(np.abs(dyaw))
+    return out
