@@ -195,3 +195,38 @@ def test_sample_pair_vs_golden_f64(sample_pcds):
 
     fit = float(ndt.fitness_score(source_ds, target_ds, result.transform))
     assert abs(fit - 0.204504) < 2e-3, fit
+
+
+def test_pallas_deriv_matches_jnp(rng):
+    """The fused Pallas kernel must reproduce the jnp derivative exactly
+    (interpret mode on CPU)."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    pts = _make_cloud_pair(rng, 700)
+    target = pointcloud.from_numpy(pts, capacity=2048, dtype=jnp.float32)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = ndt.build_ndt_map(target, cfg)
+
+    n_src = 1024  # divisible by 128
+    src = jnp.asarray(np.tile(pts, (2, 1))[:n_src] + 0.1, jnp.float32)
+    mask = jnp.ones(n_src, bool)
+    d1, d2, _ = ndt.gauss_coefficients(2.0, 0.55, jnp.float32)
+    p = jnp.asarray([0.05, -0.1, 0.08, 0.02, -0.03, 0.05], jnp.float32)
+    offs = ndt._OFFSETS["DIRECT7"]
+
+    s0, g0, h0 = ndt.compute_derivatives(m, src, mask, p, d1, d2, 2.0, offs)
+
+    import toyslam_tpu.ops.ndt_pallas as npal
+    orig = npal.ndt_terms
+    with mock.patch.object(npal, "ndt_terms",
+                           lambda *a, **k: orig(*a, interpret=True, **k)):
+        s1, g1, h1 = ndt.compute_derivatives(
+            m, src, mask, p, d1, d2, 2.0, offs, use_pallas=True)
+
+    np.testing.assert_allclose(float(s1), float(s0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4,
+                               atol=1e-4)

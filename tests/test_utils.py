@@ -82,3 +82,29 @@ def test_window_divergence_reset():
     np.testing.assert_allclose(np.asarray(win2.states.p[0]), [1.0, 2.0, 3.0])
     assert not bool(win2.prior_valid)
     assert not bool(window.window_is_diverged(win2, meas))
+
+
+def test_config_roundtrip(tmp_path):
+    from toyslam_tpu import config as cfg
+    from toyslam_tpu.registration import ndt
+
+    c = cfg.default("ndt")
+    assert isinstance(c, ndt.NDTConfig)
+    d = cfg.to_dict(c)
+    assert d["resolution"] == 1.0
+
+    custom = cfg.from_dict(ndt.NDTConfig, {"resolution": 2.5,
+                                           "max_iterations": 10})
+    assert custom.resolution == 2.5 and custom.max_iterations == 10
+    assert custom.step_size == 0.1  # default preserved
+
+    path = tmp_path / "cfg.json"
+    cfg.save(path, {"ndt": custom, "odometry": cfg.default("odometry")})
+    loaded = cfg.load(path)
+    assert loaded["ndt"].resolution == 2.5
+    assert loaded["odometry"].ndt.resolution == 1.0
+
+    # typos fail loudly
+    import pytest
+    with pytest.raises(KeyError):
+        cfg.from_dict(ndt.NDTConfig, {"resolutoin": 1.0})

@@ -64,6 +64,9 @@ class NDTConfig(NamedTuple):
     # first; excess voxels beyond this are dropped). Single scans at 1 m
     # resolution occupy a few thousand voxels.
     map_capacity: int = 16384
+    # Fuse the post-gather derivative math into one Pallas kernel (the two
+    # voxel-table gathers stay in XLA). Requires N divisible by 128.
+    use_pallas: bool = False
 
 
 class NDTMap(NamedTuple):
@@ -81,7 +84,7 @@ class NDTMap(NamedTuple):
     min_b: jax.Array  # [3] int32
     div: jax.Array  # [3] int32
     div_mul: jax.Array  # [3] int32
-    lut: jax.Array  # [grid_capacity] int32 slot index or -1
+    lut: jax.Array  # [grid_capacity/16, 16] int32 slot or -1
     vid_of_slot: jax.Array  # [V] int32 linear voxel id per slot (verify)
     mean3: jax.Array  # [3, V]
     icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
@@ -275,10 +278,15 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
                        i11 * vw, i12 * vw, i22 * vw])
     mean3 = jnp.stack([mean_x, mean_y, mean_z])
     zero = jnp.zeros_like(vw)
+    # Channels 10/11 carry the voxel id split into exact-in-f32 16-bit
+    # halves so lookup verification rides the same row gather (1D gathers
+    # measured 2x slower than 16-wide row gathers on TPU).
+    vid_lo = jnp.where(valid, unique_ids & 0xFFFF, -1).astype(dtype)
+    vid_hi = jnp.where(valid, unique_ids >> 16, -1).astype(dtype)
     table = jnp.stack([
         mean_x, mean_y, mean_z,
         i00 * vw, i01 * vw, i02 * vw, i11 * vw, i12 * vw, i22 * vw,
-        vw, zero, zero, zero, zero, zero, zero,
+        vw, vid_lo, vid_hi, zero, zero, zero, zero,
     ], axis=1)  # [V, 16]
 
     # Masked-hash lookup table: h = vid & (cap - 1). Exact when the grid
@@ -289,6 +297,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     lut = jnp.full((cap,), -1, jnp.int32)
     scatter_h = jnp.where(valid & (unique_ids != _INT_MAX), h, cap)
     lut = lut.at[scatter_h].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
+    lut = lut.reshape(cap // 16, 16)  # row-gather-friendly layout
 
     return NDTMap(
         unique_ids=unique_ids,
@@ -328,10 +337,14 @@ def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
     nijk = ijk[:, None, :] + off[None, :, :]  # [N, K, 3]
     in_bounds = jnp.all((nijk >= 0) & (nijk < ndt_map.div), axis=-1)
     nvid = jnp.sum(nijk * ndt_map.div_mul, axis=-1)
-    g_cap = ndt_map.lut.shape[0]
+    g_cap = ndt_map.lut.shape[0] * 16
     ok = in_bounds & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
-    slot = jnp.maximum(ndt_map.lut[h], 0)
+    lut_rows = ndt_map.lut[h >> 4]  # [..., 16]
+    lane = jax.lax.broadcasted_iota(jnp.int32, lut_rows.shape,
+                                    lut_rows.ndim - 1)
+    slot = jnp.max(jnp.where(lane == (h & 15)[..., None], lut_rows, -1), -1)
+    slot = jnp.maximum(slot, 0)
     found = ok & (ndt_map.vid_of_slot[slot] == nvid)
     return slot, found
 
@@ -421,7 +434,8 @@ def _point_hessians(src_xyz, h_tab):
 
 
 def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
-                        resolution, offsets, compute_hessian: bool = True):
+                        resolution, offsets, compute_hessian: bool = True,
+                        use_pallas: bool = False):
     """Score, gradient and Hessian of the NDT objective at chart point p.
 
     Fused flat-layout equivalent of the reference's OpenMP hot loop
@@ -472,25 +486,59 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
         & (niz >= 0) & (niz < div[2])
     )
     nvid = nix + niy * div[0] + niz * (div[0] * div[1])
-    g_cap = ndt_map.lut.shape[0]
+    g_cap = ndt_map.lut.shape[0] * 16
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
-    # optimization_barrier: keep each gather a standalone op. Fused into the
-    # surrounding elementwise graph, XLA's TPU gather lowering re-scans the
-    # table per output tile (measured 4-77 GB of traffic per evaluation);
-    # isolated gathers take the fast path.
-    h = jax.lax.optimization_barrier(h)
-    slot = jnp.maximum(ndt_map.lut[h], 0)  # [NK] int gather
-    slot = jax.lax.optimization_barrier(slot)
-    found = (ok & (ndt_map.vid_of_slot[slot] == nvid)  # verify aliasing
-             & expand(src_mask))
+    # LUT fetch as a 16-wide row gather + in-register column select: TPU
+    # lowers 1D gathers ~2x slower than multi-column row gathers.
+    lut_rows = ndt_map.lut[h >> 4]  # [NK, 16] row gather
+    col = (h & 15).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, lut_rows.shape, 1)
+    slot = jnp.max(jnp.where(lane == col[:, None], lut_rows, -1), axis=1)
+    slot = jnp.maximum(slot, 0)
 
-    stats = jax.lax.optimization_barrier(
-        ndt_map.table[slot])  # [NK, 16] row gather — the only big fetch
+    stats = ndt_map.table[slot]  # [NK, 16] row gather — the only big fetch
     mx, my, mz = stats[:, 0], stats[:, 1], stats[:, 2]
     cxx, cxy, cxz = stats[:, 3], stats[:, 4], stats[:, 5]
     cyy, cyz, czz = stats[:, 6], stats[:, 7], stats[:, 8]
     vox_valid = stats[:, 9] > 0.5
+    # Aliasing/occupancy verification via the id halves in the same row
+    dtype_i = jnp.float32 if dtype == jnp.float32 else dtype
+    vid_match = (
+        (stats[:, 10] == (nvid & 0xFFFF).astype(dtype))
+        & (stats[:, 11] == (nvid >> 16).astype(dtype))
+    )
+    found = ok & vid_match & expand(src_mask)
+
+    if use_pallas and compute_hessian and NK % 128 == 0:
+        # Fused post-gather Pallas kernel (see ops/ndt_pallas.py).
+        from toyslam_tpu.ops import ndt_pallas
+
+        j_tab, h_tab = _angle_tables(p, dtype)
+        Rrows = NK // 128
+        rs = lambda v: v.reshape(Rrows, 128)
+        xh_stack = jnp.stack([
+            rs(expand(h_tab[k, 0] * sx + h_tab[k, 1] * sy
+                      + h_tab[k, 2] * sz)) for k in range(15)])
+        channels = tuple(
+            [rs(expand(tx)), rs(expand(ty)), rs(expand(tz)),
+             rs(mx), rs(my), rs(mz),
+             rs(cxx), rs(cxy), rs(cxz), rs(cyy), rs(cyz), rs(czz),
+             rs((found & vox_valid).astype(dtype))]
+            + [rs(expand(j_tab[k, 0] * sx + j_tab[k, 1] * sy
+                         + j_tab[k, 2] * sz)) for k in range(8)]
+        )
+        d12 = jnp.stack([d1, d2, jnp.asarray(Rrows, dtype),
+                         jnp.zeros((), dtype)]).reshape(1, 4)
+        sums = ndt_pallas.ndt_terms(d12, channels, xh_stack)
+        score = sums[0]
+        grad = sums[1:7]
+        tri = sums[7:]
+        rows, cols = jnp.triu_indices(6)
+        hess = jnp.zeros((6, 6), dtype)
+        hess = hess.at[rows, cols].set(tri)
+        hess = hess.at[cols, rows].set(tri)
+        return score, grad, hess
 
     qx = expand(tx) - mx
     qy = expand(ty) - my
@@ -691,7 +739,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
 
     def derivs(p):
         return compute_derivatives(
-            ndt_map, src_xyz, src_mask, p, d1, d2, config.resolution, offsets
+            ndt_map, src_xyz, src_mask, p, d1, d2, config.resolution, offsets,
+            use_pallas=config.use_pallas,
         )
 
     step_max = jnp.asarray(config.step_size, dtype)
