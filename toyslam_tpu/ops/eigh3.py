@@ -26,7 +26,7 @@ def _rot_coeffs(app, aqq, apq):
     return c, t * c
 
 
-def eigh3_soa(a00, a01, a02, a11, a12, a22, sweeps: int = 8):
+def eigh3_soa(a00, a01, a02, a11, a12, a22, sweeps: int = 5):
     """Eigendecomposition of symmetric 3x3 matrices in component form.
 
     Inputs: the six unique components, each shape [...]. Returns
@@ -86,7 +86,7 @@ def eigh3_soa(a00, a01, a02, a11, a12, a22, sweeps: int = 8):
     return tuple(evals), tuple(V[i][j] for i in range(3) for j in range(3))
 
 
-def eigh3(A, sweeps: int = 8):
+def eigh3(A, sweeps: int = 5):
     """AoS wrapper: A [..., 3, 3] symmetric -> (evals [..., 3] ascending,
     evecs [..., 3, 3] columns), matching Eigen::SelfAdjointEigenSolver."""
     evals, evecs = eigh3_soa(

@@ -30,12 +30,13 @@ _HP = jax.lax.Precision.HIGHEST
 
 class OdometryConfig(NamedTuple):
     ndt: ndt.NDTConfig = ndt.NDTConfig(
-        # ndt_rosbag_mapping_node defaults (:81-92): eps 0.01, 64 iters... the
-        # node actually uses eps 0.01 / 30 iters / step 0.1 / res 1.0.
+        # ndt_rosbag_mapping_node defaults (:81-92): res 1.0, step 0.1,
+        # eps 0.01, 30 iters. map_capacity sized for single-scan maps.
         resolution=1.0,
         step_size=0.1,
         transformation_epsilon=0.01,
         max_iterations=30,
+        map_capacity=8192,
     )
     scan_leaf: float = 0.3  # per-scan downsample (``:88``)
     map_leaf: float = 0.5  # global-map re-filter (``:153``)

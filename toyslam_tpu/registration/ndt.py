@@ -59,7 +59,7 @@ class NDTConfig(NamedTuple):
     # id verification, so lookups stay correct but aliased voxels drop out
     # of the map) for larger ones. TPU gathers scan the table, so SMALL
     # tables are fast tables.
-    grid_capacity: int = 1 << 18
+    grid_capacity: int = 1 << 16
     # Static number of voxel slots kept in the map (valid voxels are packed
     # first; excess voxels beyond this are dropped). Single scans at 1 m
     # resolution occupy a few thousand voxels.
@@ -70,13 +70,19 @@ class NDTConfig(NamedTuple):
 
 
 class NDTMap(NamedTuple):
-    """Voxel-Gaussian map: sorted unique voxel ids + per-voxel statistics.
+    """Voxel-Gaussian map: fixed-capacity sorted spatial hash.
 
-    ``lut`` is a dense linear-voxel-id -> slot table (-1 = empty/invalid):
-    neighbor lookup is a single gather instead of a binary search. ``mean3``/
-    ``icov6`` are structure-of-arrays copies ([3, V] / [6, V] with the
-    symmetric components xx, xy, xz, yy, yz, zz) so the hot derivative kernel
-    gathers clean 1D lanes instead of padding [., 3, 3] tiles.
+    Hot-path layout (measured on v5e: 1D gathers ~2x slower than 16-wide
+    row gathers; gather cost grows with table size):
+    - ``lut`` [cap/16, 16]: masked-hash -> slot, fetched as rows with an
+      in-register column select;
+    - ``table`` [V, 16]: packed per-voxel stats — mean(3), icov sym(6),
+      valid flag, voxel-id 16-bit halves (aliasing verification rides the
+      same row fetch), padding;
+    - ``hash_stats`` [cap, 16]: the same rows keyed directly by hash (an
+      alternative single-gather path; slower for large caps, kept for
+      small-grid configurations and experimentation);
+    - ``mean3``/``icov6``: SoA views for component-wise consumers.
     """
 
     unique_ids: jax.Array  # [V] int32, sorted, INT32_MAX padded
@@ -86,13 +92,10 @@ class NDTMap(NamedTuple):
     div_mul: jax.Array  # [3] int32
     lut: jax.Array  # [grid_capacity/16, 16] int32 slot or -1
     vid_of_slot: jax.Array  # [V] int32 linear voxel id per slot (verify)
+    hash_stats: jax.Array  # [grid_capacity, 16]
     mean3: jax.Array  # [3, V]
     icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
-    # Packed per-voxel stats [V, 16]: mean(3), icov sym(6), valid flag, pad.
-    # The derivative kernel fetches everything with ONE row gather — TPU
-    # handles row gathers natively, while many separate 1D gathers were
-    # observed to re-scan the tables (~77 GB accessed per evaluation).
-    table: jax.Array
+    table: jax.Array  # [V, 16] packed stats rows
 
     @property
     def mean(self):
@@ -299,6 +302,12 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     lut = lut.at[scatter_h].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
     lut = lut.reshape(cap // 16, 16)  # row-gather-friendly layout
 
+    # Empty rows: zero stats (benign math, gated out) but -1 id channels so
+    # verification never matches. Non-zero fill in the icov channels would
+    # make q^T C q negative -> exp overflow -> 0 * inf = NaN.
+    hash_stats = jnp.zeros((cap, 16), dtype).at[:, 10:12].set(-1.0)
+    hash_stats = hash_stats.at[scatter_h].set(table, mode="drop")
+
     return NDTMap(
         unique_ids=unique_ids,
         valid=valid,
@@ -307,6 +316,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         div_mul=div_mul,
         lut=lut,
         vid_of_slot=jnp.where(valid, unique_ids, _INT_MAX),
+        hash_stats=hash_stats,
         mean3=mean3,
         icov6=icov6,
         table=table,
@@ -489,15 +499,16 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     g_cap = ndt_map.lut.shape[0] * 16
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
-    # LUT fetch as a 16-wide row gather + in-register column select: TPU
-    # lowers 1D gathers ~2x slower than multi-column row gathers.
-    lut_rows = ndt_map.lut[h >> 4]  # [NK, 16] row gather
+    # Two small-table row gathers beat one large-table gather: TPU gather
+    # throughput degrades with table size (random-row cache behaviour), and
+    # 1D gathers are ~2x slower than 16-wide row gathers. LUT rows + an
+    # in-register column select, then the packed stats row.
+    lut_rows = ndt_map.lut[h >> 4]  # [NK, 16] row gather (256 KB table)
     col = (h & 15).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, lut_rows.shape, 1)
     slot = jnp.max(jnp.where(lane == col[:, None], lut_rows, -1), axis=1)
     slot = jnp.maximum(slot, 0)
-
-    stats = ndt_map.table[slot]  # [NK, 16] row gather — the only big fetch
+    stats = ndt_map.table[slot]  # [NK, 16] row gather
     mx, my, mz = stats[:, 0], stats[:, 1], stats[:, 2]
     cxx, cxy, cxz = stats[:, 3], stats[:, 4], stats[:, 5]
     cyy, cyz, czz = stats[:, 6], stats[:, 7], stats[:, 8]
