@@ -98,15 +98,15 @@ def test_derivatives_match_autodiff(rng):
     This independently validates the Magnusson 6.12/6.13 implementation
     (including the h_ang d1 sign fix vs the reference float path).
     """
-    pts = _make_cloud_pair(rng, 800)
+    pts = _make_cloud_pair(rng, 500)
     target = pointcloud.PointCloud(
         jnp.asarray(np.concatenate([pts, np.zeros((len(pts), 1))], 1), jnp.float64),
         jnp.ones(len(pts), bool),
     )
-    cfg = ndt.NDTConfig(resolution=2.0)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=4096)
     m = ndt.build_ndt_map(target, cfg)
 
-    src = jnp.asarray(pts[::3] + 0.1, jnp.float64)
+    src = jnp.asarray(pts[::4] + 0.1, jnp.float64)
     mask = jnp.ones(src.shape[0], bool)
     d1, d2, _ = ndt.gauss_coefficients(cfg.resolution, cfg.outlier_ratio, jnp.float64)
     p = jnp.asarray([0.05, -0.12, 0.08, 0.02, -0.03, 0.05], jnp.float64)
@@ -230,3 +230,20 @@ def test_pallas_deriv_matches_jnp(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_display_cloud_sampling(rng):
+    pts = _make_cloud_pair(rng, 1000)
+    target = pointcloud.from_numpy(pts, capacity=4096, dtype=jnp.float32)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = ndt.build_ndt_map(target, cfg)
+    xyz, mask = ndt.sample_display_cloud(m, jax.random.PRNGKey(0), 50)
+    valid = np.asarray(mask)
+    samples = np.asarray(xyz)[valid]
+    assert len(samples) > 1000
+    # Samples live near the scene (within a few resolutions)
+    assert np.abs(samples).max() < 40.0
+    # Floor voxels sample thin in z: median |z| small
+    floor_samples = samples[np.abs(samples[:, 2]) < 3.0]
+    assert len(floor_samples) > 100

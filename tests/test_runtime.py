@@ -57,3 +57,23 @@ def test_scan_stream(tmp_path, rng):
     assert len(scans) == 3
     assert scans[0][0].shape == (32, 4)
     assert int(np.asarray(scans[0][1]).sum()) == 20
+
+
+def test_rosbag_roundtrip_and_pipeline(tmp_path, rng):
+    from toyslam_tpu.runtime import rosbag
+
+    scans = [(0.1 * i, rng.normal(size=(100 + i, 4)).astype(np.float32))
+             for i in range(4)]
+    bag = tmp_path / "test.bag"
+    rosbag.write_bag(bag, scans)
+
+    out = list(rosbag.read_pointclouds(bag))
+    assert len(out) == 4
+    for (t0, pts0), (t1, pts1) in zip(scans, out):
+        assert abs(t0 - t1) < 1e-6
+        np.testing.assert_array_equal(pts0, pts1)
+
+    # Generic message iteration sees topic + type
+    msgs = list(rosbag.read_messages(bag))
+    assert msgs[0][0] == "/velodyne_points"
+    assert "PointCloud2" in msgs[0][2]

@@ -9,7 +9,7 @@ from toyslam_tpu.estimators.factors import NavState
 from toyslam_tpu.sim import trajectories, sensors
 
 
-def _run_smoother(n_kf=16, imu_per_kf=50, hz=200.0, seed=0,
+def _run_smoother(n_kf=13, imu_per_kf=50, hz=200.0, seed=0,
                   cfg=window.WindowConfig(window_size=10, gn_iterations=5,
                                           pos_sigma=0.05)):
     dt = 1.0 / hz
@@ -67,11 +67,11 @@ def test_window_smoother_tracks_and_marginalizes():
     err = np.linalg.norm(est_p - gt_p, axis=1)
     rmse = np.sqrt(np.mean(err[5:] ** 2))
     assert rmse < 0.08, f"window smoother RMSE {rmse}"
-    # Marginalization must have happened (16 keyframes > window 10)
+    # Marginalization must have happened (13 keyframes > window 10)
     assert bool(win.prior_valid)
     assert int(win.count) == 10
     # Velocity should be tracked thanks to IMU factors (circle: |v|=1.2)
-    speed = np.linalg.norm(est_v[-8:], axis=1)
+    speed = np.linalg.norm(est_v[-6:], axis=1)
     assert np.median(np.abs(speed - 1.2)) < 0.5, speed
 
 

@@ -934,3 +934,46 @@ def fitness_score(source: PointCloud, target: PointCloud, transform,
     use = mask_p & (dists <= max_range * max_range)
     cnt = jnp.maximum(jnp.sum(use.astype(dtype)), 1.0)
     return jnp.sum(jnp.where(use, dists, 0.0)) / cnt
+
+
+def sample_display_cloud(ndt_map: NDTMap, key, points_per_voxel: int = 100):
+    """Sample points from each voxel Gaussian for visualization.
+
+    Port of ``VoxelGridCovariance::getDisplayCloud`` (``voxel_grid_
+    covariance_omp_impl.hpp:446-483``): per-voxel Cholesky of the covariance
+    drives Gaussian samples around the mean. Returns (xyz [V*P, 3],
+    mask [V*P]).
+    """
+    V = ndt_map.valid.shape[0]
+    dtype = ndt_map.mean3.dtype
+    # Covariance = inverse of icov (closed form, symmetric)
+    xx, xy, xz, yy, yz, zz = ndt_map.icov6
+    A = yy * zz - yz * yz
+    B = -(xy * zz - yz * xz)
+    C = xy * yz - yy * xz
+    det = xx * A + xy * B + xz * C
+    safe = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    c00 = A / safe
+    c01 = B / safe
+    c02 = C / safe
+    c11 = (xx * zz - xz * xz) / safe
+    c12 = -(xx * yz - xy * xz) / safe
+    c22 = (xx * yy - xy * xy) / safe
+
+    # Cholesky of the 3x3 covariance in closed form
+    l00 = jnp.sqrt(jnp.maximum(c00, 1e-12))
+    l10 = c01 / l00
+    l20 = c02 / l00
+    l11 = jnp.sqrt(jnp.maximum(c11 - l10 * l10, 1e-12))
+    l21 = (c12 - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(c22 - l20 * l20 - l21 * l21, 1e-12))
+
+    z = jax.random.normal(key, (V, points_per_voxel, 3), dtype)
+    sx = l00[:, None] * z[..., 0]
+    sy = l10[:, None] * z[..., 0] + l11[:, None] * z[..., 1]
+    sz_ = (l20[:, None] * z[..., 0] + l21[:, None] * z[..., 1]
+           + l22[:, None] * z[..., 2])
+    mean = ndt_map.mean3.T  # [V, 3]
+    pts = mean[:, None, :] + jnp.stack([sx, sy, sz_], -1)
+    mask = jnp.broadcast_to(ndt_map.valid[:, None], (V, points_per_voxel))
+    return pts.reshape(-1, 3), mask.reshape(-1)
