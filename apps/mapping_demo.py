@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""End-to-end mapping demo: scans in -> trajectory + map + metrics out.
+
+The complete ``ndt_rosbag_mapping_node`` user story without ROS:
+
+    python apps/mapping_demo.py <scans.bag | pcd_directory> out_dir \\
+        [--leaf 0.3] [--map-leaf 0.5] [--config cfg.json]
+
+Reads scans from a ROS bag (``/velodyne_points``) or a directory of
+``cloud_N.pcd`` files, runs the compiled NDT odometry + bounded mapping
+pipeline, and writes:
+
+    out_dir/trajectory.txt     TUM-format poses (taslo_trajectory.txt style)
+    out_dir/solution.csv       EvaPos-compatible CSV
+    out_dir/map.pcd            accumulated global map
+    out_dir/metrics.jsonl      per-scan iterations/convergence/score
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def load_scans(source: str, capacity: int):
+    from toyslam_tpu.runtime import loader, rosbag
+
+    src = Path(source)
+    if src.is_dir():
+        files = loader.list_scan_files(src)
+        if not files:
+            raise FileNotFoundError(f"no .pcd files in {src}")
+        xyzi, mask = loader.load_scan_stack(files, capacity)
+        times = np.arange(len(files), dtype=np.float64)
+        return times, xyzi, mask
+    # bag file
+    times, stacks, masks = [], [], []
+    for t, pts in rosbag.read_pointclouds(src):
+        x, m = loader.pack_scan(pts, capacity)
+        times.append(t)
+        stacks.append(x)
+        masks.append(m)
+    if not stacks:
+        raise ValueError(f"no PointCloud2 messages in {src}")
+    return (np.asarray(times), np.stack(stacks), np.stack(masks))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("source", help="ROS bag or directory of PCD scans")
+    ap.add_argument("out_dir")
+    ap.add_argument("--leaf", type=float, default=0.3)
+    ap.add_argument("--map-leaf", type=float, default=0.5)
+    ap.add_argument("--capacity", type=int, default=131072)
+    ap.add_argument("--map-capacity", type=int, default=65536)
+    ap.add_argument("--config", default=None, help="JSON config file")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from toyslam_tpu import config as cfgmod
+    from toyslam_tpu.pipelines import odometry as odo
+    from toyslam_tpu.utils import evalio
+
+    times, xyzi, mask = load_scans(args.source, args.capacity)
+    print(f"loaded {len(times)} scans (capacity {args.capacity})")
+
+    if args.config:
+        cfg = cfgmod.load(args.config)["odometry"]
+    else:
+        cfg = odo.OdometryConfig()._replace(
+            scan_leaf=args.leaf, map_leaf=args.map_leaf)
+
+    run = jax.jit(odo.ndt_mapping, static_argnums=(2, 3))
+    t0 = time.perf_counter()
+    out = run(jnp.asarray(xyzi), jnp.asarray(mask), args.map_capacity, cfg)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    n_reg = len(times) - 1
+    print(f"mapping: {dt:.2f} s total, {n_reg / dt:.1f} scans/s "
+          f"(incl. compile on first run)")
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    poses = np.asarray(out.odometry.poses)
+    evalio.write_tum(out_dir / "trajectory.txt", times, poses)
+    traj = evalio.from_transforms(times, poses)
+    evalio.write_evapos_csv(out_dir / "solution.csv", traj)
+
+    from toyslam_tpu.core import pcd_io
+
+    map_mask = np.asarray(out.map_mask)
+    map_pts = np.asarray(out.map_xyzi)[map_mask]
+    pcd_io.write_pcd(out_dir / "map.pcd", map_pts)
+
+    log = evalio.MetricsLogger(out_dir / "metrics.jsonl")
+    conv = np.asarray(out.odometry.converged)
+    iters = np.asarray(out.odometry.iterations)
+    probs = np.asarray(out.odometry.trans_probability)
+    for i in range(len(times)):
+        log.log(scan=i, time=float(times[i]), converged=bool(conv[i]),
+                iterations=int(iters[i]), trans_probability=float(probs[i]))
+
+    print(f"wrote {out_dir}/trajectory.txt ({len(poses)} poses), "
+          f"solution.csv, map.pcd ({len(map_pts)} pts), metrics.jsonl")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
