@@ -192,3 +192,76 @@ def test_deadreckon_calibration_and_static():
         dt, gb, ab, q0)
     assert np.linalg.norm(np.asarray(ps[-1])) < 0.1
     assert np.linalg.norm(np.asarray(vs[-1])) < 0.05
+
+
+def test_synthetic_imu_gap_fill():
+    """Synthetic IMU from boundary states must preintegrate back to the
+    boundary motion (uwb_imu_batch_node.cpp:3646-3781 fallback)."""
+    from toyslam_tpu.estimators import preintegration as pre
+
+    q0 = se3.quat_identity(jnp.float64)
+    q1 = se3.quat_from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float64), jnp.asarray(0.2, jnp.float64))
+    v0 = jnp.asarray([1.0, 0.0, 0.0], jnp.float64)
+    v1 = jnp.asarray([1.2, 0.3, 0.0], jnp.float64)
+    dt_total = 0.5
+    acc, gyro, dts = pre.synthesize_imu_gap(q0, v0, q1, v1, dt_total, 200,
+                                            dtype=jnp.float64)
+    gw = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+    p = pre.preintegrate(acc, gyro, dts, jnp.zeros(3, jnp.float64),
+                         jnp.zeros(3, jnp.float64),
+                         gravity_sensor=se3.quat_to_rot(
+                             se3.quat_conjugate(q0)) @ gw)
+    # Rotation recovered
+    q_err = se3.quat_multiply(se3.quat_conjugate(p.delta_q), q1)
+    assert abs(float(q_err[0])) > 1.0 - 1e-4
+    # Velocity delta recovered in the start frame: R0^T (v1 - v0)
+    np.testing.assert_allclose(np.asarray(p.delta_v),
+                               np.asarray(v1 - v0), atol=0.05)
+
+
+def test_bias_change_cache_invalidation():
+    from toyslam_tpu.estimators import preintegration as pre
+
+    p = jax.tree_util.tree_map(
+        lambda x: x, pre.preintegrate(
+            jnp.zeros((10, 3)), jnp.zeros((10, 3)), jnp.full((10,), 0.01),
+            jnp.zeros(3), jnp.zeros(3)))
+    z = jnp.zeros(3)
+    small = jnp.asarray([0.01, 0.0, 0.0])
+    big = jnp.asarray([0.1, 0.0, 0.0])
+    assert not bool(pre.bias_change_exceeds(p, z, z, small, z))
+    assert bool(pre.bias_change_exceeds(p, z, z, big, z))
+
+
+def test_online_odometry_step_matches_scan(rng):
+    """Streaming odometry_step must produce the same poses as the scan."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from toyslam_tpu.pipelines import odometry as odo
+    from toyslam_tpu.registration import ndt as ndtm
+    from test_ndt import _make_cloud_pair
+
+    base = _make_cloud_pair(rng, 600)
+    S, cap = 3, 2048
+    xyzi = np.full((S, cap, 4), 1e9, np.float32)
+    mask = np.zeros((S, cap), bool)
+    for i in range(S):
+        pts = base + np.array([0.2 * i, 0.05 * i, 0.0])
+        xyzi[i, :len(pts), :3] = pts
+        mask[i, :len(pts)] = True
+
+    cfg = odo.OdometryConfig(
+        ndt=ndtm.NDTConfig(resolution=2.0, max_iterations=10,
+                           map_capacity=2048, grid_capacity=1 << 14),
+        scan_leaf=0.5, work_capacity=1024)
+    full = odo.ndt_odometry(jnp.asarray(xyzi), jnp.asarray(mask), cfg)
+
+    st = odo.odometry_init(jnp.asarray(xyzi[0]), jnp.asarray(mask[0]), cfg)
+    poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, S):
+        st, out = odo.odometry_step(st, jnp.asarray(xyzi[i]),
+                                    jnp.asarray(mask[i]), cfg)
+        poses.append(np.asarray(out[0]))
+    np.testing.assert_allclose(np.stack(poses), np.asarray(full.poses),
+                               atol=1e-5)

@@ -187,3 +187,47 @@ def correct_for_bias_change(preint: Preintegrated, dba, dbg) -> Preintegrated:
         delta_v=preint.delta_v + corr[3:6],
         delta_q=dq,
     )
+
+
+def synthesize_imu_gap(start_state_q, start_v, end_state_q, end_v, dt_total,
+                       n_samples: int, gravity_world=None, dtype=jnp.float32):
+    """Synthetic IMU samples for a buffer gap.
+
+    Port of the batch node's synthetic-IMU fallback
+    (``uwb_imu_batch_node.cpp:3646-3781``): when the IMU buffer doesn't cover
+    a keyframe interval, fabricate constant-rate samples consistent with the
+    boundary states — gyro from the relative rotation, accel from the
+    velocity change plus the gravity reaction in the body frame.
+
+    Returns (acc [n, 3], gyro [n, 3], dts [n]).
+    """
+    if gravity_world is None:
+        gravity_world = jnp.asarray([0.0, 0.0, -9.81], dtype)
+    dq = se3.quat_multiply(se3.quat_conjugate(start_state_q), end_state_q)
+    sign = jnp.where(dq[0] < 0, -1.0, 1.0)
+    dq = dq * sign
+    angle = 2.0 * jnp.arccos(jnp.clip(dq[0], -1.0, 1.0))
+    axis_n = jnp.linalg.norm(dq[1:4])
+    axis = dq[1:4] / jnp.maximum(axis_n, 1e-9)
+    omega = jnp.where(axis_n > 1e-9, axis * angle / dt_total,
+                      jnp.zeros(3, dtype))
+
+    a_world = (end_v - start_v) / dt_total - gravity_world
+    R_T = se3.quat_to_rot(se3.quat_conjugate(start_state_q))
+    a_body = R_T @ a_world
+
+    acc = jnp.tile(a_body[None, :], (n_samples, 1))
+    gyro = jnp.tile(omega[None, :], (n_samples, 1))
+    dts = jnp.full((n_samples,), dt_total / n_samples, dtype)
+    return acc, gyro, dts
+
+
+def bias_change_exceeds(preint: Preintegrated, old_ba, old_bg, new_ba, new_bg,
+                        threshold: float = 0.05):
+    """Cache-invalidation test for preintegrated chunks
+    (``uwb_imu_batch_node.cpp:3563-3582``): re-integrate when the linearized
+    bias moved more than the threshold; otherwise the first-order
+    ``correct_for_bias_change`` suffices."""
+    d = jnp.maximum(jnp.max(jnp.abs(new_ba - old_ba)),
+                    jnp.max(jnp.abs(new_bg - old_bg)))
+    return d > threshold

@@ -178,3 +178,34 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
         jnp.concatenate([jnp.zeros((1,), dtype), prob]),
     )
     return MappingOutput(odo, final_map.xyzi, final_map.mask)
+
+
+class OdometryState(NamedTuple):
+    """Carry for online (scan-at-a-time) odometry — the streaming mode of
+    ``ndt_omp_mapping_node`` (scans appearing over time, ``:72-108``)."""
+
+    prev_ds: PointCloud
+    pose: jax.Array  # [4, 4]
+    prev_T: jax.Array  # [4, 4]
+
+
+def odometry_init(first_xyzi, first_mask,
+                  config: OdometryConfig = OdometryConfig()) -> OdometryState:
+    from toyslam_tpu.core.pointcloud import shrink_to
+
+    first_ds = shrink_to(
+        voxel_downsample(PointCloud(first_xyzi, first_mask),
+                         config.scan_leaf), config.work_capacity)
+    eye = jnp.eye(4, dtype=first_xyzi.dtype)
+    return OdometryState(prev_ds=first_ds, pose=eye, prev_T=eye)
+
+
+def odometry_step(state: OdometryState, xyzi, mask,
+                  config: OdometryConfig = OdometryConfig()):
+    """Process one scan; returns (new_state, (pose, pairwise_T, converged,
+    iterations, trans_probability)). jit this with static config and feed it
+    from a host loop / runtime.loader.ScanStream."""
+    carry, out = _scan_step(config)((state.prev_ds, state.pose, state.prev_T),
+                                    (xyzi, mask))
+    prev_ds, pose, prev_T = carry
+    return OdometryState(prev_ds=prev_ds, pose=pose, prev_T=prev_T), out
