@@ -42,3 +42,24 @@ def test_gicp_recovers_transform(rng):
     assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.03, T
     assert np.abs(T[:3, :3] - T_true[:3, :3]).max() < 0.01
     assert float(res.error) < 0.01
+
+
+def test_gicp_ignores_padded_points(rng):
+    """Regression: padded rows sit at the 1e9 sentinel, where the cross term
+    of the expanded squared distance (-2 p.q ~ -2e11) dominates any additive
+    mask on |q|^2 — an unmasked pad column becomes every point's "nearest"
+    neighbor and drags the solution to the sentinel."""
+    pts = _structured_cloud(rng)
+    true_p = np.array([0.3, -0.2, 0.1, 0.01, -0.02, 0.05])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    src_pts = (pts - T_true[:3, 3]) @ T_true[:3, :3]
+
+    # 2x capacity: half of every cloud is pad sentinel rows
+    target = pointcloud.from_numpy(pts, capacity=2 * len(pts),
+                                   dtype=jnp.float32)
+    source = pointcloud.from_numpy(src_pts, capacity=2 * len(src_pts),
+                                   dtype=jnp.float32)
+    res = gicp.gicp_align(source, target)
+    T = np.asarray(res.transform)
+    assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.03, T
+    assert float(res.error) < 0.01

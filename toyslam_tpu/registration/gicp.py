@@ -99,7 +99,6 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
     C_tgt = compute_covariances(tgt, target.mask,
                                 config.k_correspondences, config.gicp_epsilon)
     tgt_sq = jnp.sum(tgt * tgt, 1)
-    tgt_sq = jnp.where(target.mask, tgt_sq, _BIG)
     max_d2 = config.max_correspondence_distance ** 2
 
     def inverse3(M):
@@ -127,6 +126,10 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
             - 2.0 * jnp.matmul(moved, tgt.T, precision=_HP)
             + tgt_sq[None, :]
         )
+        # Mask the FULL distance, not just |q|^2: for a padded target point
+        # at the 1e9 sentinel the cross term -2 p.q (~ -2e11) would dominate
+        # any additive penalty on |q|^2 and make pads the nearest neighbor.
+        d = jnp.where(target.mask[None, :], d, _BIG)
         nn_d, nn_i = jax.lax.top_k(-d, 1)
         nn_i = nn_i[:, 0]
         nn_d = -nn_d[:, 0]

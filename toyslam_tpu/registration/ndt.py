@@ -177,32 +177,35 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
 
     n = vid.shape[0]
     V = config.map_capacity
-    sorted_vid = jnp.sort(vid)
+    order = jnp.argsort(vid)
+    sorted_vid = vid[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != _INT_MAX)
+    # Slot of every sorted element = running count of group starts; scatter
+    # unique ids straight into the [map_capacity] table (out-of-capacity
+    # voxels drop) — sorted with INT32_MAX padding by construction.
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    # Scatter unique ids straight into the [map_capacity] table; non-first
-    # entries and voxels beyond the capacity drop out-of-bounds. The result
-    # is sorted with INT32_MAX padding by construction.
     unique_ids = jnp.full((V,), _INT_MAX, jnp.int32)
     unique_ids = unique_ids.at[jnp.where(first, pos, V)].set(
         sorted_vid, mode="drop"
     )
-    slot = jnp.minimum(jnp.searchsorted(unique_ids, vid), V - 1)
-    # Points whose voxel fell outside the capacity don't match their slot id.
-    in_map = (unique_ids[slot] == vid) & mask
+    # Per-point slot via the sort permutation (one scatter — a binary search
+    # here cost 13 rounds of slow 1D gathers).
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(jnp.minimum(pos, V - 1))
+    in_map = (unique_ids[jnp.minimum(slot, V - 1)] == vid) & mask
+    slot = jnp.minimum(slot, V - 1)
 
     w = in_map.astype(dtype)
-    px = jnp.where(in_map, xyz[:, 0], 0.0)
-    py = jnp.where(in_map, xyz[:, 1], 0.0)
-    pz = jnp.where(in_map, xyz[:, 2], 0.0)
-    cnt = jax.ops.segment_sum(w, slot, num_segments=V)
+    pw = jnp.where(in_map[:, None], xyz, 0.0)
+    # One fused segment reduction for (count, sum_x, sum_y, sum_z)
+    acc1 = jax.ops.segment_sum(
+        jnp.concatenate([w[:, None], pw], axis=1), slot, num_segments=V)
+    cnt = acc1[:, 0]
     cnt_safe = jnp.maximum(cnt, 1.0)
-    seg = lambda v: jax.ops.segment_sum(v, slot, num_segments=V)
-    mean_x = seg(px) / cnt_safe
-    mean_y = seg(py) / cnt_safe
-    mean_z = seg(pz) / cnt_safe
+    mean_x = acc1[:, 1] / cnt_safe
+    mean_y = acc1[:, 2] / cnt_safe
+    mean_z = acc1[:, 3] / cnt_safe
 
     # Two-pass centered covariance, in symmetric component form. The
     # reference accumulates raw second moments in double
@@ -215,12 +218,16 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     cy = jnp.where(in_map, xyz[:, 1] - mean_y[slot], 0.0)
     cz = jnp.where(in_map, xyz[:, 2] - mean_z[slot], 0.0)
     corr = (cnt_safe - 1.0) / (cnt_safe * cnt_safe)
-    v00 = seg(cx * cx) * corr
-    v01 = seg(cx * cy) * corr
-    v02 = seg(cx * cz) * corr
-    v11 = seg(cy * cy) * corr
-    v12 = seg(cy * cz) * corr
-    v22 = seg(cz * cz) * corr
+    # One fused segment reduction for the 6 centered second moments
+    acc2 = jax.ops.segment_sum(
+        jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], 1),
+        slot, num_segments=V)
+    v00 = acc2[:, 0] * corr
+    v01 = acc2[:, 1] * corr
+    v02 = acc2[:, 2] * corr
+    v11 = acc2[:, 3] * corr
+    v12 = acc2[:, 4] * corr
+    v22 = acc2[:, 5] * corr
 
     (l0, l1, l2), vec = eigh3_soa(v00, v01, v02, v11, v12, v22)
     # cov is PSD by construction; small negative eigenvalues are pure f32
