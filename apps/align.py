@@ -33,9 +33,9 @@ def main(argv):
     target = pointcloud.from_numpy(target_np, capacity=cap)
     source = pointcloud.from_numpy(source_np, capacity=cap)
 
-    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=1)
-    t_ds = pointcloud.shrink_to(ds(target, 0.1), 24576)
-    s_ds = pointcloud.shrink_to(ds(source, 0.1), 24576)
+    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
+    t_ds = ds(target, 0.1, 24576)
+    s_ds = ds(source, 0.1, 24576)
     jax.block_until_ready((t_ds, s_ds))
     eye = jnp.eye(4, dtype=jnp.float32)
     fitness = jax.jit(ndt.fitness_score)

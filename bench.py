@@ -39,13 +39,11 @@ def main():
     cap = 70000
 
     # ---- Primary: align.cpp config, 24 aligns inside one lax.scan ----
-    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=1)
+    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
     # 0.1 m-leaf downsamples of the sample pair hold ~15.8/16.0k points;
     # capacities sized to the data (dead lanes cost linearly).
-    t_ds = pointcloud.shrink_to(
-        ds(pointcloud.from_numpy(target_np, capacity=cap), 0.1), 16384)
-    s_ds = pointcloud.shrink_to(
-        ds(pointcloud.from_numpy(source_np, capacity=cap), 0.1), 16384)
+    t_ds = ds(pointcloud.from_numpy(target_np, capacity=cap), 0.1, 16384)
+    s_ds = ds(pointcloud.from_numpy(source_np, capacity=cap), 0.1, 16384)
     acfg = ndt.NDTConfig(resolution=1.0, map_capacity=8192)
     REPS = 24
 

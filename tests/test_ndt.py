@@ -247,3 +247,26 @@ def test_display_cloud_sampling(rng):
     # Floor voxels sample thin in z: median |z| small
     floor_samples = samples[np.abs(samples[:, 2]) < 3.0]
     assert len(floor_samples) > 100
+
+
+def test_frozen_linesearch_matches_exact(sample_pcds):
+    """frozen_linesearch reuses the first trial's voxel gather for extra
+    More-Thuente trials; on a well-conditioned pair every iteration accepts
+    the first trial, so the result must be bit-identical to the exact path."""
+    target_np, source_np = sample_pcds
+    cap = max(len(target_np), len(source_np))
+    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
+    t_ds = ds(pointcloud.from_numpy(target_np, capacity=cap), 0.1, 16384)
+    s_ds = ds(pointcloud.from_numpy(source_np, capacity=cap), 0.1, 16384)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    results = {}
+    for frozen in (False, True):
+        cfg = ndt.NDTConfig(resolution=1.0, map_capacity=8192,
+                            frozen_linesearch=frozen)
+        m = jax.jit(ndt.build_ndt_map, static_argnums=1)(t_ds, cfg)
+        results[frozen] = jax.jit(ndt.ndt_align, static_argnums=3)(
+            m, s_ds, eye, cfg)
+    np.testing.assert_allclose(np.asarray(results[True].transform),
+                               np.asarray(results[False].transform),
+                               atol=1e-6)
+    assert int(results[True].iterations) == int(results[False].iterations)

@@ -78,3 +78,21 @@ def test_transform_keeps_mask(rng):
     np.testing.assert_allclose(np.asarray(out.xyzi[:10, :3]), expected, atol=1e-5)
     # padded lanes stay at the sentinel
     assert np.all(np.asarray(out.xyzi[10:, 0]) == pointcloud.PAD_COORD)
+
+
+def test_voxel_downsample_fused_capacity(rng):
+    """downsample(cloud, leaf, C) == shrink_to(downsample(cloud, leaf), C),
+    including when C drops some occupied voxels."""
+    pts = rng.uniform(-20, 20, (4000, 4)).astype(np.float32)
+    cloud = pointcloud.from_numpy(pts, capacity=5000)
+    full = pointcloud.voxel_downsample(cloud, 2.0)
+    n_vox = int(full.count)
+    assert n_vox > 64
+    for C in (n_vox + 37, 64):  # headroom and overflow cases
+        fused = pointcloud.voxel_downsample(cloud, 2.0, C)
+        ref = pointcloud.shrink_to(full, C)
+        assert fused.capacity == C
+        np.testing.assert_array_equal(np.asarray(fused.mask),
+                                      np.asarray(ref.mask))
+        np.testing.assert_allclose(np.asarray(fused.xyzi),
+                                   np.asarray(ref.xyzi), rtol=1e-6)

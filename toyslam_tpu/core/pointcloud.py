@@ -95,12 +95,20 @@ def transform(cloud: PointCloud, T) -> PointCloud:
 
 
 def masked_min_max(cloud: PointCloud):
-    """Min/max over valid points (reference: pcl::getMinMax3D in applyFilter)."""
+    """Min/max over valid points (reference: pcl::getMinMax3D in applyFilter).
+
+    Reduces each coordinate as a 1D lane vector: an axis-0 reduction over the
+    [N, 3] block is ~13x slower on TPU (the minor dim tiles 3 -> 128, so the
+    reduction runs over mostly-padding sublanes).
+    """
     big = jnp.asarray(PAD_COORD, cloud.xyzi.dtype)
-    xyz = cloud.xyzi[:, :3]
-    mn = jnp.min(jnp.where(cloud.mask[:, None], xyz, big), axis=0)
-    mx = jnp.max(jnp.where(cloud.mask[:, None], xyz, -big), axis=0)
-    return mn, mx
+    m = cloud.mask
+    mins, maxs = [], []
+    for a in range(3):
+        c = cloud.xyzi[:, a]
+        mins.append(jnp.min(jnp.where(m, c, big)))
+        maxs.append(jnp.max(jnp.where(m, c, -big)))
+    return jnp.stack(mins), jnp.stack(maxs)
 
 
 def _voxel_ids(xyz, mask, inv_leaf, min_b, div_mul):
@@ -129,44 +137,60 @@ def voxel_ids(cloud: PointCloud, leaf_size: float):
     return vid, min_b, div_mul
 
 
-def unique_voxel_slots(vid):
+def unique_voxel_slots(vid, out_capacity: int | None = None):
     """Compact sorted unique voxel ids with static shapes.
 
-    Returns (unique_ids[N] sorted with INT32_MAX padding,
-             slot[N] per input point, n_unique).
+    Returns (unique_ids[V] sorted with INT32_MAX padding,
+             slot[N] per input point, n_unique), V = out_capacity or N.
+
+    TPU notes: a key-value ``lax.sort`` is an order of magnitude faster than
+    a single-operand sort at these sizes, and the sort permutation gives
+    every element's slot directly — a ``searchsorted`` here would pay
+    log2(N) rounds of slow 1D gathers. Points in voxels beyond the capacity
+    get slot == V (out of range, dropped by capacity-bounded scatters).
     """
     n = vid.shape[0]
-    sorted_vid = jnp.sort(vid)
+    V = n if out_capacity is None else out_capacity
+    order = jnp.arange(n, dtype=jnp.int32)
+    sorted_vid, order = jax.lax.sort((vid, order), num_keys=1)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != jnp.iinfo(jnp.int32).max)
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_unique = pos[-1] + 1
-    unique_ids = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    n_unique = jnp.maximum(pos[-1] + 1, 0)
+    unique_ids = jnp.full((V,), jnp.iinfo(jnp.int32).max, jnp.int32)
     # Non-first entries scatter out of bounds and are dropped; first entries
     # land at monotone positions, so the result is sorted with MAX padding.
-    unique_ids = unique_ids.at[jnp.where(first, pos, n)].set(
+    unique_ids = unique_ids.at[jnp.where(first, pos, V)].set(
         sorted_vid.astype(jnp.int32), mode="drop"
     )
-    slot = jnp.searchsorted(unique_ids, vid)
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.clip(pos, 0, V), mode="drop")
     return unique_ids, slot, n_unique
 
 
-def voxel_downsample(cloud: PointCloud, leaf_size: float) -> PointCloud:
+def voxel_downsample(cloud: PointCloud, leaf_size: float,
+                     capacity: int | None = None) -> PointCloud:
     """Centroid voxel downsample (pcl::VoxelGrid equivalent).
 
-    Output has the same static capacity; valid lanes = number of occupied
-    voxels, each holding the mean of its points (xyz and intensity).
+    Output capacity defaults to the input's; pass ``capacity`` to emit a
+    smaller cloud directly (fusing the usual ``shrink_to``) — segment sums
+    into a small table are far cheaper than full-capacity ones, and voxels
+    beyond the capacity drop exactly as a post-hoc shrink would. Valid
+    lanes = number of occupied voxels (sorted voxel order, valid-first),
+    each holding the mean of its points (xyz and intensity).
     """
     vid, _, _ = voxel_ids(cloud, leaf_size)
-    unique_ids, slot, n_unique = unique_voxel_slots(vid)
-    n = cloud.capacity
+    V = cloud.capacity if capacity is None else capacity
+    unique_ids, slot, n_unique = unique_voxel_slots(vid, V)
     w = cloud.mask.astype(cloud.xyzi.dtype)
     pts = jnp.where(cloud.mask[:, None], cloud.xyzi, 0.0)
-    sums = jax.ops.segment_sum(pts * w[:, None], slot, num_segments=n)
-    cnts = jax.ops.segment_sum(w, slot, num_segments=n)
+    # One fused segment reduction for (count, sum_xyzi)
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([w[:, None], pts * w[:, None]], axis=1),
+        slot, num_segments=V)
     valid = unique_ids != jnp.iinfo(jnp.int32).max
-    centroid = sums / jnp.maximum(cnts, 1.0)[:, None]
+    centroid = acc[:, 1:] / jnp.maximum(acc[:, 0], 1.0)[:, None]
     out = jnp.where(valid[:, None], centroid, PAD_COORD)
     out = out.at[:, 3].set(jnp.where(valid, centroid[:, 3], 0.0))
     return PointCloud(out, valid)

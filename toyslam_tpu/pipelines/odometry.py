@@ -37,6 +37,9 @@ class OdometryConfig(NamedTuple):
         transformation_epsilon=0.01,
         max_iterations=30,
         map_capacity=8192,
+        # Line-search trials reuse the first trial's voxel gather (the
+        # dominant cost); first-trial-accepted iterations stay exact.
+        frozen_linesearch=True,
     )
     scan_leaf: float = 0.3  # per-scan downsample (``:88``)
     map_leaf: float = 0.5  # global-map re-filter (``:153``)
@@ -56,14 +59,11 @@ class OdometryOutput(NamedTuple):
 
 
 def _scan_step(cfg: OdometryConfig):
-    from toyslam_tpu.core.pointcloud import shrink_to
-
     def step(carry, scan):
         prev_ds, pose, prev_T = carry
         xyzi, mask = scan
         cur = PointCloud(xyzi, mask)
-        cur_ds = shrink_to(voxel_downsample(cur, cfg.scan_leaf),
-                           cfg.work_capacity)
+        cur_ds = voxel_downsample(cur, cfg.scan_leaf, cfg.work_capacity)
 
         m = ndt.build_ndt_map(prev_ds, cfg.ndt)
         guess = prev_T if cfg.warm_start else jnp.eye(4, dtype=xyzi.dtype)
@@ -89,11 +89,9 @@ def ndt_odometry(scans_xyzi, scans_mask, config: OdometryConfig = OdometryConfig
     if initial_pose is None:
         initial_pose = jnp.eye(4, dtype=dtype)
 
-    from toyslam_tpu.core.pointcloud import shrink_to
-
     first = PointCloud(scans_xyzi[0], scans_mask[0])
-    first_ds = shrink_to(voxel_downsample(first, config.scan_leaf),
-                         config.work_capacity)
+    first_ds = voxel_downsample(first, config.scan_leaf,
+                                config.work_capacity)
     eye = jnp.eye(4, dtype=dtype)
 
     carry0 = (first_ds, initial_pose.astype(dtype), eye)
@@ -126,11 +124,9 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
     dtype = scans_xyzi.dtype
     N = scans_xyzi.shape[1]
 
-    from toyslam_tpu.core.pointcloud import shrink_to
-
     first = PointCloud(scans_xyzi[0], scans_mask[0])
-    first_ds = shrink_to(voxel_downsample(first, config.scan_leaf),
-                         config.work_capacity)
+    first_ds = voxel_downsample(first, config.scan_leaf,
+                                config.work_capacity)
 
     map0 = voxel_downsample(first_ds, config.map_leaf)
     from toyslam_tpu.core.pointcloud import pad_to
@@ -157,10 +153,7 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
             jnp.concatenate([map_cloud.xyzi, world.xyzi], 0),
             jnp.concatenate([map_cloud.mask, world.mask], 0),
         )
-        refiltered = voxel_downsample(merged, config.map_leaf)
-        new_map = PointCloud(
-            refiltered.xyzi[:map_capacity], refiltered.mask[:map_capacity]
-        )
+        new_map = voxel_downsample(merged, config.map_leaf, map_capacity)
         return (odo_carry_new, new_map), out
 
     carry0 = ((first_ds, eye, eye), map0)
@@ -191,11 +184,8 @@ class OdometryState(NamedTuple):
 
 def odometry_init(first_xyzi, first_mask,
                   config: OdometryConfig = OdometryConfig()) -> OdometryState:
-    from toyslam_tpu.core.pointcloud import shrink_to
-
-    first_ds = shrink_to(
-        voxel_downsample(PointCloud(first_xyzi, first_mask),
-                         config.scan_leaf), config.work_capacity)
+    first_ds = voxel_downsample(PointCloud(first_xyzi, first_mask),
+                                config.scan_leaf, config.work_capacity)
     eye = jnp.eye(4, dtype=first_xyzi.dtype)
     return OdometryState(prev_ds=first_ds, pose=eye, prev_T=eye)
 

@@ -67,6 +67,15 @@ class NDTConfig(NamedTuple):
     # Fuse the post-gather derivative math into one Pallas kernel (the two
     # voxel-table gathers stay in XLA). Requires N divisible by 128.
     use_pallas: bool = False
+    # Reuse the voxel neighborhood gathered at the Newton iterate for all
+    # More-Thuente trial evaluations in that iteration. The table gathers
+    # are ~80% of a derivative eval (hardware random-row floor), and trial
+    # steps (<= step_size, typically 0.1 m) rarely move points across
+    # resolution-sized voxels, so this cuts gathers from ~2.5x to 1x per
+    # Newton iteration with a slightly stale line-search model. Off by
+    # default: exact reference eval-per-trial semantics
+    # (``computeStepLengthMT``, ``ndt_omp_impl.hpp:772-932``).
+    frozen_linesearch: bool = False
 
 
 class NDTMap(NamedTuple):
@@ -177,8 +186,8 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
 
     n = vid.shape[0]
     V = config.map_capacity
-    order = jnp.argsort(vid)
-    sorted_vid = vid[order]
+    order = jnp.arange(n, dtype=jnp.int32)
+    sorted_vid, order = jax.lax.sort((vid, order), num_keys=1)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != _INT_MAX)
@@ -450,24 +459,40 @@ def _point_hessians(src_xyz, h_tab):
     return jnp.stack([row0, row1, row2], -3)  # [N, 3(a), 3(b), 3(vec)]
 
 
-def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
-                        resolution, offsets, compute_hessian: bool = True,
-                        use_pallas: bool = False):
-    """Score, gradient and Hessian of the NDT objective at chart point p.
+class NeighborhoodStats(NamedTuple):
+    """Per-(point, neighbor) voxel statistics gathered at one chart point.
 
-    Fused flat-layout equivalent of the reference's OpenMP hot loop
-    (``computeDerivatives``, ``ndt_omp_impl.hpp:178-285`` +
-    ``updateDerivatives`` ``:483-537``).
+    SoA [N*K] views of the packed map rows: Gaussian mean, inverse
+    covariance (symmetric 6), and the combined validity gate (in-bounds,
+    id-verified, occupied voxel, valid source point)."""
 
-    TPU layout strategy:
-    - per-point quantities are computed once on [N] lanes and expanded to
-      [N*K] by broadcast-reshape (contiguous, no random access);
-    - ALL per-voxel statistics arrive via ONE [N*K, 16] row gather from the
-      packed map table plus one int LUT gather (XLA lowers many separate 1D
-      gathers to repeated table scans — measured 77 GB of traffic/eval);
-    - the ~28 score/grad/Hessian reductions are stacked into a single
-      [C, N*K] tensor and reduced in one pass.
-    """
+    mx: jax.Array
+    my: jax.Array
+    mz: jax.Array
+    cxx: jax.Array
+    cxy: jax.Array
+    cxz: jax.Array
+    cyy: jax.Array
+    cyz: jax.Array
+    czz: jax.Array
+    valid: jax.Array  # bool [N*K]
+
+
+def _expand(v, N, K):
+    """[N] -> [NK] by repeating each element K times (pure broadcast)."""
+    return jnp.broadcast_to(v[:, None], (N, K)).reshape(N * K)
+
+
+def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
+                        resolution, offsets) -> NeighborhoodStats:
+    """Voxel lookup + stats gather for every (source point, DIRECT offset).
+
+    The gather half of the reference's ``computeDerivatives`` hot loop
+    (``ndt_omp_impl.hpp:178-285``): transform points by p, find their
+    neighbor voxels, and fetch each voxel's Gaussian. This is ~80% of a
+    derivative evaluation (hardware random-row gather floor), and is split
+    out so a line search can reuse one neighborhood across trial steps
+    (``NDTConfig.frozen_linesearch``)."""
     dtype = src_xyz.dtype
     N = src_xyz.shape[0]
     K = len(offsets)
@@ -485,9 +510,7 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     iy = jnp.floor(ty * inv_leaf).astype(jnp.int32) - ndt_map.min_b[1]
     iz = jnp.floor(tz * inv_leaf).astype(jnp.int32) - ndt_map.min_b[2]
 
-    def expand(v):
-        """[N] -> [NK] by repeating each element K times (pure broadcast)."""
-        return jnp.broadcast_to(v[:, None], (N, K)).reshape(NK)
+    expand = lambda v: _expand(v, N, K)
 
     off = jnp.asarray(offsets, jnp.int32)  # [K, 3]
     ox = jnp.broadcast_to(off[:, 0][None, :], (N, K)).reshape(NK)
@@ -516,17 +539,63 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     slot = jnp.max(jnp.where(lane == col[:, None], lut_rows, -1), axis=1)
     slot = jnp.maximum(slot, 0)
     stats = ndt_map.table[slot]  # [NK, 16] row gather
-    mx, my, mz = stats[:, 0], stats[:, 1], stats[:, 2]
-    cxx, cxy, cxz = stats[:, 3], stats[:, 4], stats[:, 5]
-    cyy, cyz, czz = stats[:, 6], stats[:, 7], stats[:, 8]
     vox_valid = stats[:, 9] > 0.5
     # Aliasing/occupancy verification via the id halves in the same row
-    dtype_i = jnp.float32 if dtype == jnp.float32 else dtype
     vid_match = (
         (stats[:, 10] == (nvid & 0xFFFF).astype(dtype))
         & (stats[:, 11] == (nvid >> 16).astype(dtype))
     )
     found = ok & vid_match & expand(src_mask)
+    return NeighborhoodStats(
+        mx=stats[:, 0], my=stats[:, 1], mz=stats[:, 2],
+        cxx=stats[:, 3], cxy=stats[:, 4], cxz=stats[:, 5],
+        cyy=stats[:, 6], cyz=stats[:, 7], czz=stats[:, 8],
+        valid=found & vox_valid,
+    )
+
+
+def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
+                        resolution, offsets, compute_hessian: bool = True,
+                        use_pallas: bool = False,
+                        stats: NeighborhoodStats | None = None):
+    """Score, gradient and Hessian of the NDT objective at chart point p.
+
+    Fused flat-layout equivalent of the reference's OpenMP hot loop
+    (``computeDerivatives``, ``ndt_omp_impl.hpp:178-285`` +
+    ``updateDerivatives`` ``:483-537``).
+
+    TPU layout strategy:
+    - per-point quantities are computed once on [N] lanes and expanded to
+      [N*K] by broadcast-reshape (contiguous, no random access);
+    - ALL per-voxel statistics arrive via ONE [N*K, 16] row gather from the
+      packed map table plus one int LUT gather (XLA lowers many separate 1D
+      gathers to repeated table scans — measured 77 GB of traffic/eval);
+    - the ~28 score/grad/Hessian reductions are stacked into a single
+      [C, N*K] tensor and reduced in one pass.
+
+    Pass ``stats`` (a prior ``gather_neighborhood`` result) to skip the
+    gathers and evaluate against a frozen neighborhood.
+    """
+    dtype = src_xyz.dtype
+    N = src_xyz.shape[0]
+    K = len(offsets)
+    NK = N * K
+
+    T = se3.pose6_to_matrix(p)
+    R, t = T[:3, :3], T[:3, 3]
+    sx, sy, sz = src_xyz[:, 0], src_xyz[:, 1], src_xyz[:, 2]
+    tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
+    ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
+    tz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
+
+    expand = lambda v: _expand(v, N, K)
+
+    if stats is None:
+        stats = gather_neighborhood(ndt_map, src_xyz, src_mask, p,
+                                    resolution, offsets)
+    mx, my, mz = stats.mx, stats.my, stats.mz
+    cxx, cxy, cxz = stats.cxx, stats.cxy, stats.cxz
+    cyy, cyz, czz = stats.cyy, stats.cyz, stats.czz
 
     if use_pallas and compute_hessian and NK % 128 == 0:
         # Fused post-gather Pallas kernel (see ops/ndt_pallas.py).
@@ -542,7 +611,7 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
             [rs(expand(tx)), rs(expand(ty)), rs(expand(tz)),
              rs(mx), rs(my), rs(mz),
              rs(cxx), rs(cxy), rs(cxz), rs(cyy), rs(cyz), rs(czz),
-             rs((found & vox_valid).astype(dtype))]
+             rs(stats.valid.astype(dtype))]
             + [rs(expand(j_tab[k, 0] * sx + j_tab[k, 1] * sy
                          + j_tab[k, 2] * sz)) for k in range(8)]
         )
@@ -572,7 +641,7 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     # NaN/invalid guard (``ndt_omp_impl.hpp:506-507``)
     gate = (
         (e_x_cov_x <= 1.0) & (e_x_cov_x >= 0.0) & jnp.isfinite(e_x_cov_x)
-        & found & vox_valid
+        & stats.valid
     ).astype(dtype)
 
     factor = d1 * d2 * e * gate  # [NK]
@@ -784,7 +853,19 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
 
         a_t0 = jnp.clip(step_init, step_min, step_max)
         p_t0 = p + step_dir * a_t0
-        score_t, grad_t, hess_t = derivs(p_t0)
+        if config.frozen_linesearch:
+            # One gather at the first trial point; further trials reuse it
+            # (first-trial-accepted iterations — the common case — are
+            # exactly the reference evaluation).
+            ls_stats = gather_neighborhood(
+                ndt_map, src_xyz, src_mask, p_t0, config.resolution, offsets)
+            derivs_trial = lambda pt: compute_derivatives(
+                ndt_map, src_xyz, src_mask, pt, d1, d2, config.resolution,
+                offsets, use_pallas=config.use_pallas, stats=ls_stats)
+            score_t, grad_t, hess_t = derivs_trial(p_t0)
+        else:
+            derivs_trial = derivs
+            score_t, grad_t, hess_t = derivs(p_t0)
         phi_t = -score_t
         d_phi_t = -jnp.dot(grad_t, step_dir)
         psi_t = psi(a_t0, phi_t)
@@ -820,7 +901,7 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
             )
             a_t = jnp.clip(a_t, step_min, step_max)
             p_t = p + step_dir * a_t
-            score_t, grad_t, hess_t = derivs(p_t)
+            score_t, grad_t, hess_t = derivs_trial(p_t)
             phi_t = -score_t
             d_phi_t = -jnp.dot(grad_t, step_dir)
             psi_t = psi(a_t, phi_t)
