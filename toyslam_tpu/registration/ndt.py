@@ -88,9 +88,6 @@ class NDTMap(NamedTuple):
     - ``table`` [V, 16]: packed per-voxel stats — mean(3), icov sym(6),
       valid flag, voxel-id 16-bit halves (aliasing verification rides the
       same row fetch), padding;
-    - ``hash_stats`` [cap, 16]: the same rows keyed directly by hash (an
-      alternative single-gather path; slower for large caps, kept for
-      small-grid configurations and experimentation);
     - ``mean3``/``icov6``: SoA views for component-wise consumers.
     """
 
@@ -101,7 +98,6 @@ class NDTMap(NamedTuple):
     div_mul: jax.Array  # [3] int32
     lut: jax.Array  # [grid_capacity/16, 16] int32 slot or -1
     vid_of_slot: jax.Array  # [V] int32 linear voxel id per slot (verify)
-    hash_stats: jax.Array  # [grid_capacity, 16]
     mean3: jax.Array  # [3, V]
     icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
     table: jax.Array  # [V, 16] packed stats rows
@@ -321,8 +317,6 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # Empty rows: zero stats (benign math, gated out) but -1 id channels so
     # verification never matches. Non-zero fill in the icov channels would
     # make q^T C q negative -> exp overflow -> 0 * inf = NaN.
-    hash_stats = jnp.zeros((cap, 16), dtype).at[:, 10:12].set(-1.0)
-    hash_stats = hash_stats.at[scatter_h].set(table, mode="drop")
 
     return NDTMap(
         unique_ids=unique_ids,
@@ -332,7 +326,6 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         div_mul=div_mul,
         lut=lut,
         vid_of_slot=jnp.where(valid, unique_ids, _INT_MAX),
-        hash_stats=hash_stats,
         mean3=mean3,
         icov6=icov6,
         table=table,
