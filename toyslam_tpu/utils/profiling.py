@@ -58,7 +58,16 @@ class StageTimer:
 
 
 def bench_1x_10x(fn, *args):
-    """align.cpp-style single + 10x timing; returns (single_ms, ten_ms, out)."""
+    """align.cpp-style single + 10x timing; returns (single_ms, ten_ms, out).
+
+    CAUTION (measured on the v5e runtime): repeated dispatches of the same
+    executable with unchanged inputs can be elided, and the first timed run
+    after a single warmup is inflated several-fold. This helper mirrors the
+    reference's naive loop for parity; for honest numbers put repetitions
+    inside one ``lax.scan`` with per-iteration distinct inputs and warm the
+    timed program at least twice (see ``bench.py``)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
