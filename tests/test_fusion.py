@@ -5,7 +5,6 @@ import jax.numpy as jnp
 from toyslam_tpu.pipelines import fusion, odometry as odo
 from toyslam_tpu.registration import ndt
 from toyslam_tpu.parallel import batch as pbatch
-from toyslam_tpu.sim import sensors
 
 
 def _fusion_inputs(rng, S=3, N=800, R=20):

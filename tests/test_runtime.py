@@ -1,4 +1,7 @@
+from pathlib import Path
+
 import numpy as np
+import pytest
 
 from toyslam_tpu.core import pcd_io
 from toyslam_tpu.runtime import loader, native
@@ -77,3 +80,61 @@ def test_rosbag_roundtrip_and_pipeline(tmp_path, rng):
     msgs = list(rosbag.read_messages(bag))
     assert msgs[0][0] == "/velodyne_points"
     assert "PointCloud2" in msgs[0][2]
+
+
+def test_native_pack_scans_matches_python(tmp_path, rng):
+    """The C pthread batch packer (native/scanpack.c) must produce exactly
+    what the Python thread-pool path produces, across ascii, binary and
+    binary_compressed PCDs plus the real reference scan."""
+    from toyslam_tpu.core import pcd_io
+    from toyslam_tpu.runtime import loader, native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    pts = rng.normal(0, 10, (700, 4)).astype(np.float32)
+    pts[5, 0] = np.nan  # an invalid point must mask out identically
+    files = []
+    for binary in (False, True):
+        f = tmp_path / f"cloud_{len(files)}.pcd"
+        pcd_io.write_pcd(f, pts, binary=binary)
+        files.append(f)
+
+    # binary_compressed: literal-only LZF (ctrl<32 = run of ctrl+1 bytes)
+    # over the field-major payload PCL uses
+    soa = np.concatenate([pts[:, c].copy() for c in range(4)]).tobytes()
+    lit = bytearray()
+    for i in range(0, len(soa), 32):
+        chunk = soa[i:i + 32]
+        lit.append(len(chunk) - 1)
+        lit.extend(chunk)
+    f = tmp_path / f"cloud_{len(files)}.pcd"
+    header = ("# .PCD v0.7\nVERSION 0.7\nFIELDS x y z intensity\n"
+              "SIZE 4 4 4 4\nTYPE F F F F\nCOUNT 1 1 1 1\n"
+              f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+              f"POINTS {len(pts)}\nDATA binary_compressed\n")
+    with open(f, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(np.uint32(len(lit)).tobytes())
+        fh.write(np.uint32(len(soa)).tobytes())
+        fh.write(bytes(lit))
+    files.append(f)
+
+    ref = Path("/root/reference/ndt_omp/data/251370668.pcd")
+    if ref.exists():
+        files.append(ref)
+
+    cap = 70000
+    nat = native.pack_scans(files, cap)
+    assert nat is not None
+    x_n, m_n = nat
+
+    # Pure-python path (force the fallback)
+    import unittest.mock as mock
+    with mock.patch.object(native, "pack_scans", lambda *a, **k: None):
+        x_p, m_p = loader.load_scan_stack(files, cap)
+
+    np.testing.assert_array_equal(m_n, m_p)
+    # NaN-safe exact comparison
+    np.testing.assert_array_equal(np.nan_to_num(x_n, nan=12345.0),
+                                  np.nan_to_num(x_p, nan=12345.0))

@@ -27,7 +27,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from toyslam_tpu.core import se3
 from toyslam_tpu.estimators import factors
 from toyslam_tpu.estimators.factors import NavState
 from toyslam_tpu.estimators.preintegration import Preintegrated

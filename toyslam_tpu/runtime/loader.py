@@ -23,6 +23,7 @@ from typing import Iterator
 import numpy as np
 
 from toyslam_tpu.core import pcd_io
+from toyslam_tpu.runtime import native
 from toyslam_tpu.core.pointcloud import PAD_COORD
 
 
@@ -49,8 +50,14 @@ def pack_scan(points: np.ndarray, capacity: int):
 
 
 def load_scan_stack(paths, capacity: int, workers: int = 8):
-    """Decode many PCDs in parallel into one [S, capacity, 4] stack."""
+    """Decode many PCDs in parallel into one [S, capacity, 4] stack.
+
+    Uses the native pthread pack (native/scanpack.c) when available; the
+    Python thread-pool fallback below is differential-tested against it."""
     paths = list(paths)
+    packed = native.pack_scans(paths, capacity, workers)
+    if packed is not None:
+        return packed
     xyzi = np.full((len(paths), capacity, 4), PAD_COORD, np.float32)
     xyzi[..., 3] = 0.0
     mask = np.zeros((len(paths), capacity), bool)

@@ -43,6 +43,12 @@ def _load():
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.pack_scans.restype = ctypes.c_long
+        lib.pack_scans.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -78,3 +84,34 @@ def extract_xyzi(data: bytes, n_points: int, record_size: int,
     lib.extract_xyzi(buf, n_points, record_size, x_off, y_off, z_off, i_off,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def pack_scans(paths, capacity: int, n_threads: int | None = None):
+    """Threaded native batch PCD parse + pack.
+
+    Returns (xyzi [S, capacity, 4] float32, mask [S, capacity] bool) or
+    None if the native library is unavailable or any file failed (caller
+    falls back to the Python path).
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    if n_threads is None:
+        import os
+        n_threads = min(os.cpu_count() or 1, 16)
+    paths = [str(p) for p in paths]
+    S = len(paths)
+    arr = (ctypes.c_char_p * S)(*[p.encode() for p in paths])
+    xyzi = np.empty((S, capacity, 4), np.float32)
+    mask = np.zeros((S, capacity), np.uint8)
+    counts = np.zeros((S,), np.int64)
+    rc = lib.pack_scans(
+        arr, S, capacity, n_threads,
+        xyzi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    if rc != 0:
+        return None
+    return xyzi, mask.astype(bool)
