@@ -3,8 +3,14 @@
 
 Capability port of ``ndt_omp/apps/align.cpp``: 0.1 m voxel downsample of
 both clouds, then times ICP, GICP and NDT {DIRECT7, DIRECT1, DIRECT27}
-(single + amortized over 10 runs) and prints fitness scores. Headless —
-no PCLVisualizer; use utils/evalio exports for inspection.
+and prints fitness scores. Headless — no PCLVisualizer; use utils/evalio
+exports for inspection.
+
+Timing note: align.cpp times a naive host loop; on this runtime that lies
+(repeat-dispatch elision, multi-fold first-run inflation), so every number
+here is amortized over REPS aligns executed inside one ``lax.scan``
+dispatch with distinct initial guesses, after two warm runs (same recipe
+as bench.py).
 """
 
 from __future__ import annotations
@@ -15,12 +21,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+REPS = 8
+
 
 def main(argv):
     if len(argv) != 3:
         print("usage: align.py target.pcd source.pcd")
         return 0
 
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -37,36 +46,44 @@ def main(argv):
     t_ds = ds(target, 0.1, 24576)
     s_ds = ds(source, 0.1, 24576)
     jax.block_until_ready((t_ds, s_ds))
-    eye = jnp.eye(4, dtype=jnp.float32)
     fitness = jax.jit(ndt.fitness_score)
+    eps = jnp.asarray(np.linspace(0, 1e-4, REPS), jnp.float32)
 
-    def bench(name, fn):
-        res = fn()
-        jax.block_until_ready(res)
-        t1 = time.perf_counter()
-        res = fn()
-        jax.block_until_ready(res)
-        single = (time.perf_counter() - t1) * 1e3
-        t2 = time.perf_counter()
-        for _ in range(10):
-            res = fn()
-        jax.block_until_ready(res)
-        ten = (time.perf_counter() - t2) * 1e3
-        fit = float(fitness(s_ds, t_ds, res.transform))
+    def bench(name, align_fn):
+        @jax.jit
+        def many(e):
+            def one(c, k):
+                guess = jnp.eye(4, dtype=jnp.float32).at[0, 3].add(e[k])
+                r = align_fn(guess)
+                return c + r.transform[0, 3] * 1e-9, r.transform
+            return jax.lax.scan(one, jnp.zeros(()), jnp.arange(REPS))
+
+        out = many(eps)
+        jax.block_until_ready(out)
+        jax.block_until_ready(many(eps + np.float32(1e-4)))
+        times = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            out = many(eps + np.float32(2e-4 + r * 1e-4))
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / REPS * 1e3)
+        # a run can still be elided outright (returns stale buffers in ~0 ms);
+        # drop implausibly fast runs before taking the min
+        plausible = [t for t in times if t > 0.3 * max(times)]
+        best = min(plausible)
+        fit = float(fitness(s_ds, t_ds, out[1][-1]))
         print(f"--- {name} ---")
-        print(f"single : {single:.3f}[msec]")
-        print(f"10times: {ten:.3f}[msec]")
+        print(f"amortized: {best:.3f} [msec/align] ({REPS} aligns, one dispatch)")
         print(f"fitness: {fit:.6f}\n")
 
-    bench("ICP", lambda: icp.icp_align(s_ds, t_ds, eye))
-    bench("GICP", lambda: gicp.gicp_align(s_ds, t_ds, eye))
+    bench("ICP", lambda g: icp.icp_align(s_ds, t_ds, g))
+    bench("GICP", lambda g: gicp.gicp_align(s_ds, t_ds, g))
 
-    build = jax.jit(ndt.build_ndt_map, static_argnums=1)
-    align = jax.jit(ndt.ndt_align, static_argnums=3)
     for method in ("DIRECT7", "DIRECT1", "DIRECT27"):
         cfg = ndt.NDTConfig(resolution=1.0, search_method=method)
+        m = jax.jit(ndt.build_ndt_map, static_argnums=1)(t_ds, cfg)
         bench(f"NDT ({method})",
-              lambda c=cfg: align(build(t_ds, c), s_ds, eye, c))
+              lambda g, m=m, c=cfg: ndt.ndt_align(m, s_ds, g, c))
     return 0
 
 
