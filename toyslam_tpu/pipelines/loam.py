@@ -169,7 +169,10 @@ def _knn(query, query_mask, ref, ref_mask, k):
         + jnp.sum(ref * ref, 1)[None, :]
     )
     d = jnp.where(ref_mask[None, :], d, _BIG)
-    neg_d, idx = jax.lax.top_k(-d, k)
+    # Hardware approximate top-k (recall ~0.95) instead of the lane-sort
+    # top_k (~3x slower at these shapes); the line/plane eigen-gates below
+    # reject any factor a swapped far neighbor would degrade.
+    neg_d, idx = jax.lax.approx_max_k(-d, k)
     sqd = jnp.maximum(-neg_d, 0.0)
     valid = sqd < _BIG * 0.5
     valid = valid & query_mask[:, None]
