@@ -61,3 +61,34 @@ def test_sharded_fusion_over_mesh(rng):
     out = pbatch.sharded_fusion(mesh, *stacked, config=_small_cfg(R=10))
     assert out.fused_p.shape == (B, 20, 3)
     assert np.isfinite(np.asarray(out.fused_p)).all()
+
+
+def test_point_sharded_align_matches_single_device(rng):
+    """Tensor-parallel align: source points sharded over an 8-device mesh
+    with per-eval psum must reproduce the single-device result exactly
+    (the reduction order changes, so allow float32 noise)."""
+    import jax
+    from toyslam_tpu.core.pointcloud import PointCloud, from_numpy
+
+    base = np.concatenate([
+        rng.uniform(-20, 20, (1500, 2)),
+        0.05 * rng.normal(size=(1500, 1)),
+        np.zeros((1500, 1)),
+    ], axis=1).astype(np.float32)
+    wall = base.copy(); wall[:, 2] = wall[:, 0] * 0.2 + 3.0
+    pts = np.concatenate([base, wall])
+    target = from_numpy(pts, capacity=4096)
+    src_pts = pts.copy() + np.array([0.3, -0.2, 0.05, 0.0], np.float32)
+    source = from_numpy(src_pts, capacity=4096)
+
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = ndt.build_ndt_map(target, cfg)
+    ref = ndt.ndt_align(m, source, jnp.eye(4, dtype=jnp.float32), cfg)
+
+    mesh = pbatch.make_mesh(8)
+    out = pbatch.sharded_align(mesh, m, source, config=cfg)
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.transform),
+                               np.asarray(ref.transform), atol=1e-5)
+    assert int(out.iterations) == int(ref.iterations)

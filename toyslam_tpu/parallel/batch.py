@@ -9,8 +9,15 @@ one machine (SURVEY §2.4). The TPU-native equivalents:
   locally, trajectories are all-gathered (rides ICI). This is the 64-way
   "batched odometry" BASELINE config.
 
-No collectives are needed inside the registration math itself (each sequence
-is independent); the mesh exists to scale throughput linearly with chips.
+- ``sharded_align``   — tensor-parallel single align: the SOURCE POINTS are
+  sharded over the mesh (map replicated); each device computes its shard's
+  partial derivative sums and one [28]-vector ``psum`` per evaluation rides
+  ICI. Latency-scales one registration across chips (the collective payload
+  is tiny, so efficiency stays near-linear until shards get gather-bound).
+
+Sequence-level sharding needs no collectives inside the registration math;
+``sharded_align`` is the model-parallel option when a single huge scan (or
+a latency target) matters more than batch throughput.
 """
 
 from __future__ import annotations
@@ -95,3 +102,31 @@ def sharded_fusion(mesh: Mesh, scans_xyzi, scans_mask, imu_acc, imu_gyro,
         check_vma=False,
     )
     return fn(scans_xyzi, scans_mask, imu_acc, imu_gyro, imu_dt)
+
+
+def sharded_align(mesh: Mesh, ndt_map: ndt.NDTMap, source: PointCloud,
+                  guess=None, config: ndt.NDTConfig = ndt.NDTConfig(),
+                  axis: str = "data"):
+    """Point-sharded SPMD NDT align over the mesh.
+
+    source capacity must be divisible by the mesh size; the map and guess
+    are replicated, every device runs the identical Newton/More-Thuente
+    scalar program on psum-completed derivatives, and the (replicated)
+    result is returned unsharded.
+    """
+    if guess is None:
+        guess = jnp.eye(4, dtype=source.xyzi.dtype)
+
+    def local(map_, xyzi_shard, mask_shard, g):
+        res = ndt.ndt_align(map_, PointCloud(xyzi_shard, mask_shard), g,
+                            config, axis_name=axis)
+        return res
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(ndt_map, source.xyzi, source.mask, guess)

@@ -550,7 +550,8 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
 def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
                         resolution, offsets, compute_hessian: bool = True,
                         use_pallas: bool = False,
-                        stats: NeighborhoodStats | None = None):
+                        stats: NeighborhoodStats | None = None,
+                        axis_name: str | None = None):
     """Score, gradient and Hessian of the NDT objective at chart point p.
 
     Fused flat-layout equivalent of the reference's OpenMP hot loop
@@ -611,6 +612,8 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
         d12 = jnp.stack([d1, d2, jnp.asarray(Rrows, dtype),
                          jnp.zeros((), dtype)]).reshape(1, 4)
         sums = ndt_pallas.ndt_terms(d12, channels, xh_stack)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
         score = sums[0]
         grad = sums[1:7]
         tri = sums[7:]
@@ -709,6 +712,11 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
 
     stacked = jnp.stack(terms)  # [C, NK]
     sums = jnp.sum(stacked, axis=1)  # [C]
+    if axis_name is not None:
+        # Point-sharded SPMD: every term is a plain sum over (point,
+        # neighbor) pairs, so one [C]-vector psum over the mesh axis
+        # completes the global derivatives (see parallel/batch.py).
+        sums = jax.lax.psum(sums, axis_name)
 
     score = sums[0]
     grad = sums[1:7]
@@ -797,17 +805,27 @@ def _update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
 
 
 def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
-              config: NDTConfig = NDTConfig()) -> NDTResult:
+              config: NDTConfig = NDTConfig(),
+              axis_name: str | None = None) -> NDTResult:
     """Align source to the map: Newton on the 6-dof Euler chart with
     More-Thuente step control, one compiled program.
 
     Mirrors ``computeTransformation`` (``ndt_omp_impl.hpp:80-171``) and
     ``computeStepLengthMT`` (``:772-932``).
+
+    ``axis_name``: run point-sharded SPMD inside ``shard_map`` — this
+    device holds a shard of the source points (map replicated), the
+    per-evaluation derivative sums are ``psum``-ed over the mesh axis, and
+    the (replicated) Newton/line-search scalar logic proceeds identically
+    on every device. See ``parallel/batch.sharded_align``.
     """
     dtype = source.xyzi.dtype
     src_xyz = source.xyzi[:, :3]
     src_mask = source.mask
-    n_src = jnp.maximum(jnp.sum(src_mask.astype(dtype)), 1.0)
+    n_src = jnp.sum(src_mask.astype(dtype))
+    if axis_name is not None:
+        n_src = jax.lax.psum(n_src, axis_name)
+    n_src = jnp.maximum(n_src, 1.0)
 
     d1, d2, _d3 = gauss_coefficients(config.resolution, config.outlier_ratio, dtype)
     offsets = _OFFSETS[config.search_method]
@@ -820,7 +838,7 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
     def derivs(p):
         return compute_derivatives(
             ndt_map, src_xyz, src_mask, p, d1, d2, config.resolution, offsets,
-            use_pallas=config.use_pallas,
+            use_pallas=config.use_pallas, axis_name=axis_name,
         )
 
     step_max = jnp.asarray(config.step_size, dtype)
@@ -854,7 +872,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
                 ndt_map, src_xyz, src_mask, p_t0, config.resolution, offsets)
             derivs_trial = lambda pt: compute_derivatives(
                 ndt_map, src_xyz, src_mask, pt, d1, d2, config.resolution,
-                offsets, use_pallas=config.use_pallas, stats=ls_stats)
+                offsets, use_pallas=config.use_pallas, stats=ls_stats,
+                axis_name=axis_name)
             score_t, grad_t, hess_t = derivs_trial(p_t0)
         else:
             derivs_trial = derivs
