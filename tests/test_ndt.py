@@ -333,3 +333,34 @@ def test_odometry_trajectory_ate_vs_golden(sample_pcds):
     assert rmse < 1e-3, (est_pos, gold_pos, raw_err, rmse)
     # unaligned per-keyframe drift stays at the few-mm level over 3 chains
     assert raw_err.max() < 5e-3, (est_pos, gold_pos, raw_err)
+
+
+def test_degenerate_inputs_stay_finite(rng):
+    """Failure-path behavior: empty source, zero-overlap pair, and empty
+    map must produce finite transforms (the degenerate-direction guard
+    returns the guess; trans_probability 0 flags useless registrations —
+    the odometry pipeline's identity fallback keys off these)."""
+    pts = rng.uniform(-10, 10, (2000, 4)).astype(np.float32)
+    target = pointcloud.from_numpy(pts, capacity=4096)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = ndt.build_ndt_map(target, cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    empty = pointcloud.PointCloud(
+        jnp.full((4096, 4), 1e9, jnp.float32).at[:, 3].set(0.0),
+        jnp.zeros(4096, bool))
+    r = ndt.ndt_align(m, empty, eye, cfg)
+    assert bool(jnp.isfinite(r.transform).all())
+    assert float(r.trans_probability) == 0.0
+    np.testing.assert_allclose(np.asarray(r.transform), np.eye(4), atol=1e-6)
+
+    far = pointcloud.from_numpy(
+        pts + np.array([1e4, 1e4, 0, 0], np.float32), capacity=4096)
+    r2 = ndt.ndt_align(m, far, eye, cfg)
+    assert bool(jnp.isfinite(r2.transform).all())
+    assert float(r2.trans_probability) == 0.0
+
+    m_empty = ndt.build_ndt_map(empty, cfg)
+    r3 = ndt.ndt_align(m_empty, target, eye, cfg)
+    assert bool(jnp.isfinite(r3.transform).all())
