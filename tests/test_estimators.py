@@ -265,3 +265,20 @@ def test_online_odometry_step_matches_scan(rng):
         poses.append(np.asarray(out[0]))
     np.testing.assert_allclose(np.stack(poses), np.asarray(full.poses),
                                atol=1e-5)
+
+
+def test_figure8_imu_fields_consistent():
+    """figure8 now carries acc/quat/gyro (reference: teleop figure-8 driven
+    through the IMU sim); the analytic derivatives must match finite
+    differences of pos/vel/yaw."""
+    from toyslam_tpu.sim import trajectories
+
+    t = jnp.linspace(0.1, 20.0, 4000, dtype=jnp.float64)
+    tr = trajectories.figure8(t, scale=5.0, omega=0.3)
+    dt = float(t[1] - t[0])
+    v_fd = np.gradient(np.asarray(tr["pos"]), dt, axis=0)
+    a_fd = np.gradient(np.asarray(tr["vel"]), dt, axis=0)
+    y_fd = np.gradient(np.unwrap(np.asarray(tr["yaw"])), dt)
+    assert np.abs(v_fd[2:-2] - np.asarray(tr["vel"])[2:-2]).max() < 1e-4
+    assert np.abs(a_fd[2:-2] - np.asarray(tr["acc"])[2:-2]).max() < 1e-4
+    assert np.abs(y_fd[2:-2] - np.asarray(tr["gyro"])[2:-2, 2]).max() < 1e-4

@@ -52,19 +52,39 @@ def helix(t, radius=3.0, omega=0.1, z0=1.0, climb_rate=0.05):
 
 
 def figure8(t, scale=10.0, omega=0.1, z=1.0):
-    """Lemniscate (figure-8) path (``user_teleop.cpp:33-76``)."""
+    """Lemniscate (figure-8) path (``user_teleop.cpp:33-76``) with the full
+    IMU-compatible field set (analytic acceleration, tangent-yaw attitude
+    and the matching body yaw rate), so the IMU simulator can drive it like
+    the reference's teleop + sim node pair."""
     a = omega * t
     pos = jnp.stack(
         [scale * jnp.sin(a), scale * jnp.sin(a) * jnp.cos(a),
          jnp.full_like(a, z)], -1
     )
+    # y = (scale/2) sin(2a): use the double-angle form for derivatives
     vel = jnp.stack(
         [scale * omega * jnp.cos(a),
-         scale * omega * (jnp.cos(a) ** 2 - jnp.sin(a) ** 2),
+         scale * omega * jnp.cos(2.0 * a),
+         jnp.zeros_like(a)], -1
+    )
+    acc = jnp.stack(
+        [-scale * omega**2 * jnp.sin(a),
+         -2.0 * scale * omega**2 * jnp.sin(2.0 * a),
          jnp.zeros_like(a)], -1
     )
     yaw = jnp.arctan2(vel[..., 1], vel[..., 0])
-    return {"pos": pos, "vel": vel, "yaw": yaw}
+    # yaw_dot = (vx ay - vy ax) / (vx^2 + vy^2)
+    sp2 = vel[..., 0] ** 2 + vel[..., 1] ** 2
+    yaw_rate = (vel[..., 0] * acc[..., 1] - vel[..., 1] * acc[..., 0]) / (
+        jnp.maximum(sp2, 1e-12))
+    zero = jnp.zeros_like(yaw)
+    quat = se3.quat_from_axis_angle(
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], t.dtype),
+                         yaw.shape + (3,)),
+        yaw,
+    )
+    return {"pos": pos, "vel": vel, "acc": acc, "yaw": yaw, "quat": quat,
+            "gyro": jnp.stack([zero, zero, yaw_rate], -1)}
 
 
 def line(t, speed=0.5, direction=(1.0, 0.0, 0.0), z=1.0):
