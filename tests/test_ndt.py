@@ -364,3 +364,25 @@ def test_degenerate_inputs_stay_finite(rng):
     m_empty = ndt.build_ndt_map(empty, cfg)
     r3 = ndt.ndt_align(m_empty, target, eye, cfg)
     assert bool(jnp.isfinite(r3.transform).all())
+
+
+def test_turbo_regather_stays_near_exact(sample_pcds):
+    """regather_iterations=2 (carry the neighborhood after 2 Newton steps)
+    must land within ~5 mm of the always-regather solution at the odometry
+    configuration."""
+    target_np, source_np = sample_pcds
+    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
+    t_ds = ds(pointcloud.from_numpy(target_np, capacity=70000), 0.3, 16384)
+    s_ds = ds(pointcloud.from_numpy(source_np, capacity=70000), 0.3, 16384)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    poses = {}
+    for reg in (1 << 30, 2):
+        cfg = ndt.NDTConfig(resolution=1.0, transformation_epsilon=0.01,
+                            max_iterations=30, map_capacity=8192,
+                            frozen_linesearch=True, regather_iterations=reg)
+        m = jax.jit(ndt.build_ndt_map, static_argnums=1)(t_ds, cfg)
+        r = jax.jit(ndt.ndt_align, static_argnums=3)(m, s_ds, eye, cfg)
+        assert bool(r.converged)
+        poses[reg] = np.asarray(r.pose6)
+    assert np.abs(poses[2][:3] - poses[1 << 30][:3]).max() < 5e-3
+    assert np.abs(poses[2][3:] - poses[1 << 30][3:]).max() < 2e-3

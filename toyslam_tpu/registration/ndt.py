@@ -76,6 +76,13 @@ class NDTConfig(NamedTuple):
     # default: exact reference eval-per-trial semantics
     # (``computeStepLengthMT``, ``ndt_omp_impl.hpp:772-932``).
     frozen_linesearch: bool = False
+    # Turbo (requires frozen_linesearch): gather the voxel neighborhood
+    # only for the first N Newton iterations and carry the last one for
+    # the rest of the align. Voxel assignments stop changing once the
+    # pose is within a fraction of the resolution, so late iterations
+    # solve the (identical-fixed-point) frozen objective. 1<<30 = always
+    # regather (exact frozen_linesearch behavior).
+    regather_iterations: int = 1 << 30
 
 
 class NDTMap(NamedTuple):
@@ -846,7 +853,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
     mu = jnp.asarray(1.0e-4, dtype)
     nu = jnp.asarray(0.9, dtype)
 
-    def line_search(p, step_dir, step_init, score, grad, hess):
+    def line_search(p, step_dir, step_init, score, grad, hess,
+                    ls_stats=None):
         """More-Thuente; returns (a_t, p_new, score, grad, hess)."""
         phi_0 = -score
         d_phi_0 = -jnp.dot(grad, step_dir)
@@ -865,11 +873,13 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         a_t0 = jnp.clip(step_init, step_min, step_max)
         p_t0 = p + step_dir * a_t0
         if config.frozen_linesearch:
-            # One gather at the first trial point; further trials reuse it
-            # (first-trial-accepted iterations — the common case — are
-            # exactly the reference evaluation).
-            ls_stats = gather_neighborhood(
-                ndt_map, src_xyz, src_mask, p_t0, config.resolution, offsets)
+            if ls_stats is None:
+                # One gather at the first trial point; further trials reuse
+                # it (first-trial-accepted iterations — the common case —
+                # are exactly the reference evaluation).
+                ls_stats = gather_neighborhood(
+                    ndt_map, src_xyz, src_mask, p_t0, config.resolution,
+                    offsets)
             derivs_trial = lambda pt: compute_derivatives(
                 ndt_map, src_xyz, src_mask, pt, d1, d2, config.resolution,
                 offsets, use_pallas=config.use_pallas, stats=ls_stats,
@@ -950,7 +960,16 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
             jnp.where(zero_dir, hess, s["hess"]),
         )
 
-    score0, grad0, hess0 = derivs(p0)
+    turbo = config.frozen_linesearch and config.regather_iterations < (1 << 29)
+    if turbo:
+        stats0 = gather_neighborhood(ndt_map, src_xyz, src_mask, p0,
+                                     config.resolution, offsets)
+        score0, grad0, hess0 = compute_derivatives(
+            ndt_map, src_xyz, src_mask, p0, d1, d2, config.resolution,
+            offsets, use_pallas=config.use_pallas, stats=stats0,
+            axis_name=axis_name)
+    else:
+        score0, grad0, hess0 = derivs(p0)
 
     def newton_cond(carry):
         return ~carry["converged"]
@@ -962,9 +981,29 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         degenerate = (norm == 0) | ~jnp.isfinite(norm)
 
         step_dir = delta_p / jnp.where(degenerate, 1.0, norm)
-        a_t, p_new, score_n, grad_n, hess_n = line_search(
-            p, step_dir, norm, score, grad, hess
-        )
+        if turbo:
+            # Predict the first trial point (mirrors line_search's descent
+            # reversal + clip) and regather only for the first
+            # regather_iterations Newton steps; afterwards the previous
+            # neighborhood is carried.
+            d_phi_0 = -jnp.dot(grad, step_dir)
+            dir_eff = jnp.where(d_phi_0 > 0, -step_dir, step_dir)
+            p_t0 = p + dir_eff * jnp.clip(norm, step_min, step_max)
+            ls_stats = jax.lax.cond(
+                carry["it"] < config.regather_iterations,
+                lambda: gather_neighborhood(ndt_map, src_xyz, src_mask,
+                                            p_t0, config.resolution,
+                                            offsets),
+                lambda: carry["stats"],
+            )
+            a_t, p_new, score_n, grad_n, hess_n = line_search(
+                p, step_dir, norm, score, grad, hess, ls_stats=ls_stats
+            )
+        else:
+            ls_stats = None
+            a_t, p_new, score_n, grad_n, hess_n = line_search(
+                p, step_dir, norm, score, grad, hess
+            )
 
         p_out = jnp.where(degenerate, p, p_new)
         score_out = jnp.where(degenerate, score, score_n)
@@ -978,20 +1017,22 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         )
         # NaN norm means failure (reference returns converged_=false)
         failed = ~jnp.isfinite(norm)
-        return dict(
+        out = dict(
             p=p_out, score=score_out, grad=grad_out, hess=hess_out,
             it=it + 1, converged=converged, failed=carry["failed"] | failed,
         )
+        if turbo:
+            out["stats"] = ls_stats
+        return out
 
-    carry = jax.lax.while_loop(
-        newton_cond,
-        newton_body,
-        dict(
-            p=p0, score=score0, grad=grad0, hess=hess0,
-            it=jnp.zeros((), jnp.int32), converged=jnp.asarray(False),
-            failed=jnp.asarray(False),
-        ),
+    carry0 = dict(
+        p=p0, score=score0, grad=grad0, hess=hess0,
+        it=jnp.zeros((), jnp.int32), converged=jnp.asarray(False),
+        failed=jnp.asarray(False),
     )
+    if turbo:
+        carry0["stats"] = stats0
+    carry = jax.lax.while_loop(newton_cond, newton_body, carry0)
 
     T = se3.pose6_to_matrix(carry["p"])
     return NDTResult(
