@@ -167,7 +167,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     """Build the searchable voxel-Gaussian map.
 
     Pass 1 of the reference (scatter-accumulate count/sum/outer-product,
-    ``voxel_grid_covariance_omp_impl.hpp:206-264``) becomes three
+    ``voxel_grid_covariance_omp_impl.hpp:206-264``) becomes two fused
     ``segment_sum`` calls keyed by sorted-unique voxel slot; pass 2
     (mean/covariance finalization + eigenvalue inflation + inverse,
     ``:266-367``) is batched dense algebra.
