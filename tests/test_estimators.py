@@ -282,3 +282,27 @@ def test_figure8_imu_fields_consistent():
     assert np.abs(v_fd[2:-2] - np.asarray(tr["vel"])[2:-2]).max() < 1e-4
     assert np.abs(a_fd[2:-2] - np.asarray(tr["acc"])[2:-2]).max() < 1e-4
     assert np.abs(y_fd[2:-2] - np.asarray(tr["gyro"])[2:-2, 2]).max() < 1e-4
+
+
+def test_trilateration_huber_downweights_outlier_range():
+    """The reference's uwb_node runs Ceres with HuberLoss
+    (``config/params.yaml`` use_huber_loss); with huber_delta set and the
+    reference's warm start, an NLOS-corrupted range must pull the fix far
+    less than plain least squares. (Huber is a local M-estimator: it
+    downweights, it does not excise — hence a relative bound.)"""
+    anchors = jnp.asarray(
+        [[0.0, 0.0, 0.0], [5.0, 0.0, 0.0], [0.0, 5.0, 0.0],
+         [5.0, 5.0, 0.0], [2.5, 2.5, 3.0], [0.0, 2.5, 2.0]], jnp.float64)
+    p_true = jnp.asarray([1.7, 3.1, 1.2], jnp.float64)
+    ranges = jnp.linalg.norm(p_true[None, :] - anchors, axis=-1)
+    ranges = ranges.at[2].add(2.0)  # NLOS multipath outlier
+
+    guess = jnp.asarray([1.9, 2.8, 1.0], jnp.float64)  # warm start (:221)
+    p_ls, _ = trilateration.solve_position(ranges, anchors, guess)
+    p_hu, _ = trilateration.solve_position(
+        ranges, anchors, guess,
+        config=trilateration.TrilaterationConfig(huber_delta=0.5))
+    err_ls = float(jnp.linalg.norm(p_ls - p_true))
+    err_hu = float(jnp.linalg.norm(p_hu - p_true))
+    assert err_hu < 0.5, err_hu
+    assert err_hu < 0.5 * err_ls, (err_ls, err_hu)
