@@ -44,6 +44,9 @@ def sample_pcds():
     return target, source
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a shared session RNG makes every test's
+    # data depend on which tests ran before it (adding a test elsewhere
+    # silently changes another test's random inputs).
     return np.random.default_rng(42)
