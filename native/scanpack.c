@@ -170,12 +170,23 @@ static long pack_one(const char *path, long capacity,
             ++written;
         }
     } else if (h.data_mode == 2) { /* binary_compressed, SoA payload */
+        /* Bounds-validate everything that comes from the file before
+         * trusting it: the 8-byte comp/uncomp header must fit, the
+         * compressed payload must fit the file, and the SoA column extent
+         * must fit the decompressed buffer (malformed/truncated PCDs would
+         * otherwise drive out-of-bounds heap reads). */
+        if (h.header_end + 8 > flen) { free(buf); return -1; }
         const uint8_t *p = buf + h.header_end;
         uint32_t comp, uncomp;
         memcpy(&comp, p, 4); memcpy(&uncomp, p + 4, 4);
-        uint8_t *soa = (uint8_t *)malloc(uncomp);
-        if (!soa || lzf_decompress(p + 8, comp, soa, uncomp) != (long)uncomp) {
-            free(soa); free(buf); return -1;
+        if ((long)comp > flen - h.header_end - 8 || uncomp == 0) {
+            free(buf); return -1;
+        }
+        /* The SoA extraction below memcpys 4 bytes per coordinate; reject
+         * clouds whose x/y/z/intensity columns are not 4-byte floats. */
+        if (h.sizes[h.x] != 4 || h.sizes[h.y] != 4 || h.sizes[h.z] != 4 ||
+            (h.inten >= 0 && h.sizes[h.inten] != 4)) {
+            free(buf); return -1;
         }
         /* field-major: all x, then all y, ... column strides = size*n */
         long col_off[32];
@@ -183,6 +194,11 @@ static long pack_one(const char *path, long capacity,
         for (long f = 0; f < h.n_fields; ++f) {
             col_off[f] = off;
             off += h.sizes[f] * h.n_points;
+        }
+        if (off > (long)uncomp) { free(buf); return -1; }
+        uint8_t *soa = (uint8_t *)malloc(uncomp);
+        if (!soa || lzf_decompress(p + 8, comp, soa, uncomp) != (long)uncomp) {
+            free(soa); free(buf); return -1;
         }
         for (long i = 0; i < k; ++i) {
             float x, y, z, inten = 0.0f;

@@ -63,3 +63,19 @@ def test_gicp_ignores_padded_points(rng):
     T = np.asarray(res.transform)
     assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.03, T
     assert float(res.error) < 0.01
+
+
+def test_sparse_cloud_covariances_fall_back_to_identity(rng):
+    """Clouds with fewer than k valid points must not select 1e9-sentinel
+    pad rows as k-NN neighbors (their coordinates would poison the
+    mean/covariance); such points get the identity covariance instead."""
+    k = 20
+    pts = rng.normal(0, 1.0, (5, 3))  # 5 valid points < k=20
+    cloud = pointcloud.from_numpy(pts, capacity=64, dtype=jnp.float32)
+    C = gicp.compute_covariances(cloud.xyzi[:, :3], cloud.mask,
+                                 k=k, epsilon=1e-3)
+    C = np.asarray(C)
+    assert np.isfinite(C).all()
+    eye = np.eye(3, dtype=np.float32)
+    for i in range(64):
+        np.testing.assert_allclose(C[i], eye, atol=1e-6)

@@ -138,3 +138,81 @@ def test_native_pack_scans_matches_python(tmp_path, rng):
     # NaN-safe exact comparison
     np.testing.assert_array_equal(np.nan_to_num(x_n, nan=12345.0),
                                   np.nan_to_num(x_p, nan=12345.0))
+
+
+def test_rosbag_timestamp_spec_conformant(tmp_path):
+    """Regression: the bag 2.0 `time` header field is secs(u32 LE) then
+    nsecs(u32 LE). Hand-craft a record byte-for-byte per the spec (not via
+    our own writer, which would mask a symmetric encode/decode bug) and
+    check the decoded timestamp."""
+    import struct
+
+    from toyslam_tpu.runtime import rosbag
+
+    def header_bytes(fields):
+        out = b""
+        for k, v in fields.items():
+            entry = k.encode() + b"=" + v
+            out += struct.pack("<I", len(entry)) + entry
+        return out
+
+    def record(fields, data):
+        h = header_bytes(fields)
+        return (struct.pack("<I", len(h)) + h
+                + struct.pack("<I", len(data)) + data)
+
+    sec, nsec = 1738856408, 123456789  # 2025-02-06T16:30:08.123456789
+    conn_rec = record(
+        {"op": b"\x07", "conn": struct.pack("<I", 0),
+         "topic": b"/velodyne_points"},
+        header_bytes({"topic": b"/velodyne_points",
+                      "type": b"sensor_msgs/PointCloud2"}))
+    # spec layout: secs first (low 4 bytes), then nsecs
+    msg_rec = record(
+        {"op": b"\x02", "conn": struct.pack("<I", 0),
+         "time": struct.pack("<II", sec, nsec)},
+        rosbag.encode_pointcloud2(np.zeros((3, 4), np.float32)))
+    chunk = record({"op": b"\x05", "compression": b"none",
+                    "size": struct.pack("<I", len(conn_rec + msg_rec))},
+                   conn_rec + msg_rec)
+    bag_hdr = record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                      "conn_count": struct.pack("<I", 1),
+                      "chunk_count": struct.pack("<I", 1)}, b" " * 4096)
+    bag = tmp_path / "spec.bag"
+    bag.write_bytes(b"#ROSBAG V2.0\n" + bag_hdr + chunk)
+
+    msgs = list(rosbag.read_messages(bag))
+    assert len(msgs) == 1
+    assert abs(msgs[0][1] - (sec + nsec * 1e-9)) < 1e-7
+
+
+def test_malformed_compressed_pcd_rejected(tmp_path):
+    """Truncated/oversized binary_compressed payloads must be rejected by
+    both the native packer (count slot -1 -> pack_scans None) and the
+    pure-Python reader, not read out of bounds."""
+    header = ("# .PCD v0.7\nVERSION 0.7\nFIELDS x y z intensity\n"
+              "SIZE 4 4 4 4\nTYPE F F F F\nCOUNT 1 1 1 1\n"
+              "WIDTH 100\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+              "POINTS 100\nDATA binary_compressed\n").encode()
+
+    bad = {
+        # comp size claims more bytes than the file holds
+        "oversized_comp": header + np.uint32(10_000).tobytes()
+        + np.uint32(1600).tobytes() + b"\x00" * 16,
+        # file ends inside the 8-byte comp/uncomp header
+        "truncated_header": header + b"\x00\x01",
+        # uncomp smaller than the SoA column extent (100 pts * 16 B)
+        "short_uncomp": header + np.uint32(4).tobytes()
+        + np.uint32(64).tobytes() + bytes([3]) + b"abcd",
+    }
+    files = []
+    for name, blob in bad.items():
+        f = tmp_path / f"{name}.pcd"
+        f.write_bytes(blob)
+        files.append(f)
+
+    if native.available():
+        assert native.pack_scans(files, 128) is None
+    for f in files:
+        with pytest.raises(ValueError):
+            pcd_io.read_pcd(f)

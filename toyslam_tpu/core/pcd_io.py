@@ -63,6 +63,9 @@ def _lzf_decompress(src: bytes, expected: int) -> bytes:
                 i += 1
             ref = len(out) - ((ctrl & 0x1F) << 8) - src[i] - 1
             i += 1
+            if ref < 0:
+                raise ValueError("corrupt LZF stream: back-reference "
+                                 "before start of output")
             for _ in range(length + 2):
                 out.append(out[ref])
                 ref += 1
@@ -99,8 +102,14 @@ def read_pcd(path: str | Path) -> np.ndarray:
     elif data_mode == "binary":
         rec = np.frombuffer(raw, dtype=dtype, count=n_points, offset=offset)
     elif data_mode == "binary_compressed":
+        if offset + 8 > len(raw):
+            raise ValueError("truncated binary_compressed PCD header")
         comp_size, uncomp_size = np.frombuffer(raw, dtype="<u4", count=2, offset=offset)
+        if int(comp_size) > len(raw) - offset - 8:
+            raise ValueError("binary_compressed payload exceeds file size")
         payload = _lzf_decompress(raw[offset + 8: offset + 8 + comp_size], uncomp_size)
+        if len(payload) < int(uncomp_size):
+            raise ValueError("corrupt LZF stream in binary_compressed PCD")
         # binary_compressed is stored field-major (SoA)
         arrays, pos = {}, 0
         for fname, base in dtype_fields:

@@ -30,12 +30,14 @@ _HP = jax.lax.Precision.HIGHEST
 
 class OdometryConfig(NamedTuple):
     ndt: ndt.NDTConfig = ndt.NDTConfig(
-        # ndt_rosbag_mapping_node defaults (:81-92): res 1.0, step 0.1,
-        # eps 0.01, 30 iters. map_capacity sized for single-scan maps.
+        # ndt_rosbag_mapping_node defaults (:81-92,103): res 1.0, step 0.1,
+        # eps 0.01, 64 iters (the Newton loop is a lax.while_loop with early
+        # exit, so the full budget costs nothing once converged).
+        # map_capacity sized for single-scan maps.
         resolution=1.0,
         step_size=0.1,
         transformation_epsilon=0.01,
-        max_iterations=30,
+        max_iterations=64,
         map_capacity=8192,
         # Line-search trials reuse the first trial's voxel gather (the
         # dominant cost); first-trial-accepted iterations stay exact.

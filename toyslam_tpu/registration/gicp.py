@@ -69,9 +69,15 @@ def compute_covariances(xyz, mask, k: int, epsilon: float,
     )
     d = jnp.where(mask[None, :], d, _BIG)
     if exact_knn:
-        _, idx = jax.lax.top_k(-d, k)  # includes self (d=0)
+        negd, idx = jax.lax.top_k(-d, k)  # includes self (d=0)
     else:
-        _, idx = jax.lax.approx_max_k(-d, k)
+        negd, idx = jax.lax.approx_max_k(-d, k)
+    # Sparse clouds (< k valid points) select padded sentinels as
+    # neighbors; their 1e9-scale coordinates would poison the mean/cov.
+    # Gate on ALL k selected distances being real (reference skips points
+    # lacking k true neighbors, ``gicp_omp_impl.hpp:48-124``); gated
+    # points fall back to the identity covariance below.
+    has_k_real = -negd[:, -1] < _BIG / 2
     nn = xyz[idx]  # [N, k, 3]
     mean = jnp.mean(nn, axis=1)
     c = nn - mean[:, None, :]
@@ -94,7 +100,8 @@ def compute_covariances(xyz, mask, k: int, epsilon: float,
         jnp.stack([recompose(0, 1), recompose(1, 1), recompose(1, 2)], -1),
         jnp.stack([recompose(0, 2), recompose(1, 2), recompose(2, 2)], -1),
     ], -2)  # [N, 3, 3]
-    return jnp.where(mask[:, None, None], C, jnp.eye(3, dtype=xyz.dtype))
+    ok = mask & has_k_real
+    return jnp.where(ok[:, None, None], C, jnp.eye(3, dtype=xyz.dtype))
 
 
 def gicp_align(source: PointCloud, target: PointCloud, guess=None,

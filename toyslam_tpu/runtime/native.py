@@ -22,9 +22,11 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists():
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True)
+        # Always invoke make: its dependency check is a no-op when the .so
+        # is fresh, and this guarantees source edits are never shadowed by
+        # a stale binary. The .so itself is gitignored, not committed.
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.lzf_decompress.restype = ctypes.c_long
         lib.lzf_decompress.argtypes = [

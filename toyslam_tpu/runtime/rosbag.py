@@ -66,9 +66,11 @@ def read_messages(path: str | Path, topics=None):
                 }
             elif op == 0x02:  # message data
                 (conn,) = struct.unpack("<I", h["conn"])
-                (t_ns,) = struct.unpack("<Q", h["time"])
+                # bag 2.0 `time` field is secs (u32 LE) then nsecs (u32 LE),
+                # so secs land in the LOW 32 bits of the little-endian u64.
+                sec, nsec = struct.unpack("<II", h["time"])
                 info = connections.get(conn, {"topic": "?", "type": "?"})
-                t_sec = (t_ns & 0xFFFFFFFF) * 1e-9 + (t_ns >> 32)
+                t_sec = sec + nsec * 1e-9
                 yield info["topic"], t_sec, info["type"], d
 
     while pos < len(buf):
@@ -217,7 +219,7 @@ def write_bag(path: str | Path, messages, topic: str = "/velodyne_points",
     for t_sec, xyzi in messages:
         sec = int(t_sec)
         nsec = int((t_sec - sec) * 1e9)
-        t_field = struct.pack("<Q", (sec << 32) | nsec)
+        t_field = struct.pack("<II", sec, nsec)  # secs low, nsecs high
         msg_recs += _record(
             {"op": b"\x02", "conn": struct.pack("<I", 0), "time": t_field},
             encode_pointcloud2(xyzi, t_sec),
