@@ -1,18 +1,20 @@
 """Pallas TPU kernel for the NDT derivative accumulation.
 
-The NDT derivative evaluation is ~25 XLA kernels (gathers break fusion and
-every reduction/elementwise chain costs a dispatch + HBM round trip). TPU
-has no hardware random-gather path inside Pallas ("Cannot do int indexing"),
-so the two voxel-table gathers stay in XLA; everything after them — the
-Mahalanobis forms, the Gaussian gate (eq. 6.9), the gradient u-vectors and
-all 21 Hessian contributions (eqs. 6.12/6.13 [Magnusson 2009]) — fuses into
-ONE kernel that streams the gathered channels once and emits 28
-lane-partial sums.
+The NDT derivative evaluation in plain XLA materializes ~36 [K*N]-sized
+elementwise channels in HBM (expanded transforms, angular projections, the
+28 term products) — measured ~2.1 ms per evaluation at K*N = 172k, pure
+HBM-bandwidth waste. This kernel computes everything post-gather
+in-register: inputs are only the 3 per-point source coordinates (re-read
+per offset from a [3, N/128, 128] block) and the 10 packed per-(offset,
+point) stats channels produced by the hash-table gather; the rigid
+transform, the j_ang/h_ang projections (eqs. 6.19/6.21 [Magnusson 2009]),
+the Mahalanobis forms, the Gaussian gate (eq. 6.9) and all 28
+score/grad/Hessian terms (eqs. 6.12/6.13) are evaluated on the VPU and
+reduced to one [28, 128] lane-sum tile accumulated across the sequential
+grid. The final 128-lane reduction happens outside (tiny).
 
-Layout: all channels arrive as [R, 128] tiles (R = N*K/128); the kernel
-reduces over sublanes per grid step and accumulates a [28, 128] lane-sum
-tile across the sequential grid; the final 128-lane reduction happens
-outside (tiny).
+Reference hot loop: ``computeDerivatives`` + ``updateDerivatives``
+(``ndt_omp/include/pclomp/ndt_omp_impl.hpp:178-285,483-537``).
 """
 
 from __future__ import annotations
@@ -24,45 +26,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 N_TERMS = 28  # 1 score + 6 gradient + 21 Hessian upper triangle
 
+# params layout (SMEM [1, 83]):
+#   0: d1    1: d2
+#   2..13:  T[:3, :] row-major (R00 R01 R02 t0 / R10.. t1 / R20.. t2)
+#   14..37: j_tab [8, 3] row-major
+#   38..82: h_tab [15, 3] row-major
+_P_T = 2
+_P_J = 14
+_P_H = 38
 
-def _kernel(d_ref, tx, ty, tz, mx, my, mz,
-            cxx, cxy, cxz, cyy, cyz, czz,
-            gatef, xj0, xj1, xj2, xj3, xj4, xj5, xj6, xj7,
-            xh_ref, out_ref):
-    i = pl.program_id(0)
-    d1 = d_ref[0, 0]
-    d2 = d_ref[0, 1]
-    n_rows = d_ref[0, 2].astype(jnp.int32)  # valid rows (mask OOB pad)
-    block_rows = tx.shape[0]
-    row_ids = (i * block_rows
-               + jax.lax.broadcasted_iota(jnp.int32, tx.shape, 0))
-    in_range = row_ids < n_rows
 
-    def clean(ref):
-        # Zero out-of-range rows: the last grid block may read past R, and
-        # garbage there would poison the sums through 0 * inf/NaN.
-        return jnp.where(in_range, ref[...], 0.0)
+def _kernel(par_ref, xyz_ref, st_ref, out_ref):
+    i = pl.program_id(0) + pl.program_id(1)  # only for the init guard
 
-    qx = clean(tx) - clean(mx)
-    qy = clean(ty) - clean(my)
-    qz = clean(tz) - clean(mz)
-    cxx_, cxy_, cxz_ = clean(cxx), clean(cxy), clean(cxz)
-    cyy_, cyz_, czz_ = clean(cyy), clean(cyz), clean(czz)
-    Cqx = cxx_ * qx + cxy_ * qy + cxz_ * qz
-    Cqy = cxy_ * qx + cyy_ * qy + cyz_ * qz
-    Cqz = cxz_ * qx + cyz_ * qy + czz_ * qz
+    d1 = par_ref[0, 0]
+    d2 = par_ref[0, 1]
+
+    x = xyz_ref[0]
+    y = xyz_ref[1]
+    z = xyz_ref[2]
+
+    def rowdot(base, r):
+        return (par_ref[0, base + 3 * r] * x
+                + par_ref[0, base + 3 * r + 1] * y
+                + par_ref[0, base + 3 * r + 2] * z)
+
+    # Transformed point (T has 4 entries per row: R row + t)
+    tx = (par_ref[0, _P_T + 0] * x + par_ref[0, _P_T + 1] * y
+          + par_ref[0, _P_T + 2] * z + par_ref[0, _P_T + 3])
+    ty = (par_ref[0, _P_T + 4] * x + par_ref[0, _P_T + 5] * y
+          + par_ref[0, _P_T + 6] * z + par_ref[0, _P_T + 7])
+    tz = (par_ref[0, _P_T + 8] * x + par_ref[0, _P_T + 9] * y
+          + par_ref[0, _P_T + 10] * z + par_ref[0, _P_T + 11])
+
+    mx, my, mz = st_ref[0], st_ref[1], st_ref[2]
+    cxx, cxy, cxz = st_ref[3], st_ref[4], st_ref[5]
+    cyy, cyz, czz = st_ref[6], st_ref[7], st_ref[8]
+    gatef = st_ref[9]
+
+    qx = tx - mx
+    qy = ty - my
+    qz = tz - mz
+    Cqx = cxx * qx + cxy * qy + cxz * qz
+    Cqy = cxy * qx + cyy * qy + cyz * qz
+    Cqz = cxz * qx + cyz * qy + czz * qz
     qCq = qx * Cqx + qy * Cqy + qz * Cqz
 
     e = jnp.exp(-0.5 * d2 * qCq)
     exc = d2 * e
-    gate = jnp.where(
-        (exc <= 1.0) & (exc >= 0.0) & (clean(gatef) > 0.5) & in_range,
-        1.0, 0.0)
+    gate = jnp.where((exc <= 1.0) & (exc >= 0.0) & (gatef > 0.5), 1.0, 0.0)
     e = e * gate
     factor = d1 * d2 * e
 
-    xj = [clean(xj0), clean(xj1), clean(xj2), clean(xj3), clean(xj4),
-          clean(xj5), clean(xj6), clean(xj7)]
+    # Per-point angular projections x . j_row / x . h_row (eq. 6.19/6.21)
+    xj = [rowdot(_P_J, r) for r in range(8)]
+    xh = [rowdot(_P_H, r) for r in range(15)]
+
     u = (
         Cqx,
         Cqy,
@@ -72,9 +91,9 @@ def _kernel(d_ref, tx, ty, tz, mx, my, mz,
         Cqx * xj[5] + Cqy * xj[6] + Cqz * xj[7],
     )
 
-    C = [[cxx_, cxy_, cxz_],
-         [cxy_, cyy_, cyz_],
-         [cxz_, cyz_, czz_]]
+    C = [[cxx, cxy, cxz],
+         [cxy, cyy, cyz],
+         [cxz, cyz, czz]]
     CJ = [[C[r][1] * xj[0] + C[r][2] * xj[1],
            C[r][0] * xj[2] + C[r][1] * xj[3] + C[r][2] * xj[4],
            C[r][0] * xj[5] + C[r][1] * xj[6] + C[r][2] * xj[7]]
@@ -87,7 +106,6 @@ def _kernel(d_ref, tx, ty, tz, mx, my, mz,
             return xj[2] * v[0] + xj[3] * v[1] + xj[4] * v[2]
         return xj[5] * v[0] + xj[6] * v[1] + xj[7] * v[2]
 
-    xh = [jnp.where(in_range, xh_ref[k], 0.0) for k in range(15)]
     Hv = {
         (0, 0): Cqy * xh[0] + Cqz * xh[1],
         (0, 1): Cqy * xh[2] + Cqz * xh[3],
@@ -124,34 +142,42 @@ def _kernel(d_ref, tx, ty, tz, mx, my, mz,
     out_ref[...] += tile
 
 
-def ndt_terms(d12, channels, xh_stack, block_rows: int = 256,
+def ndt_terms(params, xyz3, stats10, block_tiles: int | None = None,
               interpret: bool = False):
     """Run the fused derivative kernel.
 
-    d12: [1, 4] (d1, d2, R, 0) scalars; channels: tuple of 21 [R, 128] f32 arrays
-    in the kernel's argument order (trans(3), mean(3), icov(6), gate,
-    xj(8)); xh_stack: [15, R, 128]. Returns [28] sums.
+    params: [1, 83] f32 scalars (layout at the top of this module);
+    xyz3: [3, R_N, 128] per-point source coordinates (R_N = N/128);
+    stats10: [10, K*R_N, 128] packed gather output in offset-major order
+    (``NeighborhoodStats.packed`` reshaped). Returns [28] sums.
     """
-    R = channels[0].shape[0]
-    grid = (pl.cdiv(R, block_rows),)
+    R_N = xyz3.shape[1]
+    K = stats10.shape[1] // R_N
+    if block_tiles is None:
+        block_tiles = 1
+        for b in (128, 96, 64, 48, 32, 24, 16, 12, 8, 6, 4, 3, 2):
+            if R_N % b == 0:
+                block_tiles = b
+                break
+    tiles = R_N // block_tiles
+    grid = (K, tiles)
 
-    in_specs = [pl.BlockSpec((1, 4), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)]
-    in_specs += [
-        pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in channels
+    in_specs = [
+        pl.BlockSpec((1, 83), lambda k, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, block_tiles, 128), lambda k, i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((10, block_tiles, 128),
+                     lambda k, i, t=tiles: (0, k * t + i, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    in_specs.append(
-        pl.BlockSpec((15, block_rows, 128), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((N_TERMS, 128), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((N_TERMS, 128), lambda k, i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N_TERMS, 128), jnp.float32),
         interpret=interpret,
-    )(d12, *channels, xh_stack)
+    )(params, xyz3, stats10)
     return jnp.sum(out, axis=1)

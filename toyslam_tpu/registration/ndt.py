@@ -64,9 +64,11 @@ class NDTConfig(NamedTuple):
     # first; excess voxels beyond this are dropped). Single scans at 1 m
     # resolution occupy a few thousand voxels.
     map_capacity: int = 16384
-    # Fuse the post-gather derivative math into one Pallas kernel (the two
-    # voxel-table gathers stay in XLA). Requires N divisible by 128.
-    use_pallas: bool = False
+    # Fuse the post-gather derivative math into one Pallas kernel (the
+    # voxel-table gather stays in XLA). Requires N divisible by 128 and
+    # f32. None = auto: on for the TPU backend, off elsewhere (the jnp
+    # fallback also serves f64 and autodiff oracles).
+    use_pallas: bool | None = None
     # Reuse the voxel neighborhood gathered at the Newton iterate for all
     # More-Thuente trial evaluations in that iteration. The table gathers
     # are ~80% of a derivative eval (hardware random-row floor), and trial
@@ -86,15 +88,17 @@ class NDTConfig(NamedTuple):
 
 
 class NDTMap(NamedTuple):
-    """Voxel-Gaussian map: fixed-capacity sorted spatial hash.
+    """Voxel-Gaussian map: fixed-capacity hash-addressed stats table.
 
-    Hot-path layout (measured on v5e: 1D gathers ~2x slower than 16-wide
-    row gathers; gather cost grows with table size):
-    - ``lut`` [cap/16, 16]: masked-hash -> slot, fetched as rows with an
-      in-register column select;
-    - ``table`` [V, 16]: packed per-voxel stats — mean(3), icov sym(6),
-      valid flag, voxel-id 16-bit halves (aliasing verification rides the
-      same row fetch), padding;
+    Hot-path layout (measured on v5e: random row gathers cost ~9-12 ns/row
+    regardless of row width, and 1D gathers are ~2x slower than 16-wide row
+    gathers, so the lookup is ONE row gather):
+    - ``hash_table`` [grid_capacity, 16]: per-voxel stats row stored
+      directly at slot ``vid & (grid_capacity - 1)`` — mean(3), icov
+      sym(6), valid flag, voxel-id 16-bit halves (aliasing verification
+      rides the same row fetch), padding;
+    - ``table`` [V, 16]: the same rows packed valid-first (slot order) for
+      compact consumers;
     - ``mean3``/``icov6``: SoA views for component-wise consumers.
     """
 
@@ -103,7 +107,7 @@ class NDTMap(NamedTuple):
     min_b: jax.Array  # [3] int32
     div: jax.Array  # [3] int32
     div_mul: jax.Array  # [3] int32
-    lut: jax.Array  # [grid_capacity/16, 16] int32 slot or -1
+    hash_table: jax.Array  # [grid_capacity, 16] stats row at hash slot
     vid_of_slot: jax.Array  # [V] int32 linear voxel id per slot (verify)
     mean3: jax.Array  # [3, V]
     icov6: jax.Array  # [6, V] symmetric components xx, xy, xz, yy, yz, zz
@@ -209,30 +213,43 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     slot = jnp.minimum(slot, V - 1)
 
     w = in_map.astype(dtype)
-    pw = jnp.where(in_map[:, None], xyz, 0.0)
-    # One fused segment reduction for (count, sum_x, sum_y, sum_z)
-    acc1 = jax.ops.segment_sum(
-        jnp.concatenate([w[:, None], pw], axis=1), slot, num_segments=V)
-    cnt = acc1[:, 0]
-    cnt_safe = jnp.maximum(cnt, 1.0)
-    mean_x = acc1[:, 1] / cnt_safe
-    mean_y = acc1[:, 2] / cnt_safe
-    mean_z = acc1[:, 3] / cnt_safe
-
-    # Two-pass centered covariance, in symmetric component form. The
+    # Two-pass centered covariance in voxel-corner coordinates. The
     # reference accumulates raw second moments in double
     # (``voxel_grid_covariance_omp_impl.hpp:233-237,329-330``); in f32 that
     # single-pass form cancels catastrophically for voxels tens of meters
-    # from the origin, so we gather the mean back and accumulate centered
-    # products — algebraically equal to the reference's
+    # from the origin, and a pure corner-centered single pass still loses
+    # ~2 digits on near-degenerate (inflation-bound) voxels. So: pass 1
+    # accumulates corner-relative sums (x' = x - corner, bounded by the
+    # resolution); pass 2 gathers each point's voxel mean offset d =
+    # mean - corner back as ONE packed row gather (3 separate 1D gathers
+    # here measured ~6x slower) and accumulates exactly mean-centered
+    # products (x' - d). Algebraically equal to the reference's
     # ((sum_pp - 2 sum_p mean^T)/n + mean mean^T) * (n-1)/n.
-    cx = jnp.where(in_map, xyz[:, 0] - mean_x[slot], 0.0)
-    cy = jnp.where(in_map, xyz[:, 1] - mean_y[slot], 0.0)
-    cz = jnp.where(in_map, xyz[:, 2] - mean_z[slot], 0.0)
+    res_t = jnp.asarray(res, dtype)
+    cx = jnp.where(in_map, xyz[:, 0] - (ijk[:, 0] + min_b[0]) * res_t, 0.0)
+    cy = jnp.where(in_map, xyz[:, 1] - (ijk[:, 1] + min_b[1]) * res_t, 0.0)
+    cz = jnp.where(in_map, xyz[:, 2] - (ijk[:, 2] + min_b[2]) * res_t, 0.0)
+    acc1 = jax.ops.segment_sum(
+        jnp.stack([w, cx, cy, cz], 1), slot, num_segments=V)
+    cnt = acc1[:, 0]
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    d_slot = acc1[:, 1:] / cnt_safe[:, None]  # [V, 3] mean - corner, O(res)
+    d_rows = jnp.concatenate(
+        [d_slot, jnp.zeros((V, 1), dtype)], 1)[slot]  # [n, 4] row gather
+    ex = jnp.where(in_map, cx - d_rows[:, 0], 0.0)
+    ey = jnp.where(in_map, cy - d_rows[:, 1], 0.0)
+    ez = jnp.where(in_map, cz - d_rows[:, 2], 0.0)
+    # Per-slot voxel corner from the (sorted unique) voxel id.
+    sid = jnp.where(unique_ids == _INT_MAX, 0, unique_ids)
+    si = sid % jnp.maximum(div[0], 1)
+    sj = (sid // jnp.maximum(div[0], 1)) % jnp.maximum(div[1], 1)
+    sk = sid // jnp.maximum(div[0] * div[1], 1)
+    mean_x = (si + min_b[0]).astype(dtype) * res_t + d_slot[:, 0]
+    mean_y = (sj + min_b[1]).astype(dtype) * res_t + d_slot[:, 1]
+    mean_z = (sk + min_b[2]).astype(dtype) * res_t + d_slot[:, 2]
     corr = (cnt_safe - 1.0) / (cnt_safe * cnt_safe)
-    # One fused segment reduction for the 6 centered second moments
     acc2 = jax.ops.segment_sum(
-        jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], 1),
+        jnp.stack([ex * ex, ex * ey, ex * ez, ey * ey, ey * ez, ez * ez], 1),
         slot, num_segments=V)
     v00 = acc2[:, 0] * corr
     v01 = acc2[:, 1] * corr
@@ -311,19 +328,22 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         vw, vid_lo, vid_hi, zero, zero, zero, zero,
     ], axis=1)  # [V, 16]
 
-    # Masked-hash lookup table: h = vid & (cap - 1). Exact when the grid
-    # fits in the capacity; otherwise aliased ids are caught by comparing
-    # vid_of_slot at lookup (aliased losers simply leave the map).
+    # Hash-addressed stats table: the packed row is scattered directly to
+    # slot h = vid & (cap - 1), so a lookup is ONE row gather (the former
+    # slot-LUT indirection cost a second NK-row gather per evaluation).
+    # Exact when the grid fits in the capacity; otherwise aliased ids are
+    # caught by the id halves in channels 10/11 (aliased losers simply
+    # leave the map). Empty rows: zero stats (benign math, gated out) but
+    # -1 id channels so verification never matches — non-zero fill in the
+    # icov channels would make q^T C q negative -> exp overflow ->
+    # 0 * inf = NaN.
     cap = config.grid_capacity
     h = unique_ids & (cap - 1)
-    lut = jnp.full((cap,), -1, jnp.int32)
     scatter_h = jnp.where(valid & (unique_ids != _INT_MAX), h, cap)
-    lut = lut.at[scatter_h].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
-    lut = lut.reshape(cap // 16, 16)  # row-gather-friendly layout
-
-    # Empty rows: zero stats (benign math, gated out) but -1 id channels so
-    # verification never matches. Non-zero fill in the icov channels would
-    # make q^T C q negative -> exp overflow -> 0 * inf = NaN.
+    hash_table = jnp.zeros((cap, 16), dtype)
+    hash_table = hash_table.at[:, 10].set(-1.0)
+    hash_table = hash_table.at[:, 11].set(-1.0)
+    hash_table = hash_table.at[scatter_h].set(table, mode="drop")
 
     return NDTMap(
         unique_ids=unique_ids,
@@ -331,7 +351,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
         min_b=min_b,
         div=div,
         div_mul=div_mul,
-        lut=lut,
+        hash_table=hash_table,
         vid_of_slot=jnp.where(valid, unique_ids, _INT_MAX),
         mean3=mean3,
         icov6=icov6,
@@ -353,24 +373,19 @@ def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
     """Gather neighbor voxel slots for each query point ([N, K] API).
 
     Equivalent of ``getNeighborhoodAtPoint{,7,1}``
-    (``voxel_grid_covariance_omp_impl.hpp:372-442``): displacement cells are
-    bounds-checked against the grid then resolved through the dense LUT.
+    (``voxel_grid_covariance_omp_impl.hpp:372-442``). Debug/parity API, not
+    the hot path (which reads stats rows directly from ``hash_table``):
+    slots are resolved by binary search over the sorted unique ids.
     """
-    dtype = query_xyz.dtype
-    inv_leaf = jnp.asarray(1.0 / resolution, dtype)
-    ijk = jnp.floor(query_xyz * inv_leaf).astype(jnp.int32) - ndt_map.min_b
+    ijk = jnp.floor(query_xyz * (1.0 / resolution)).astype(jnp.int32) \
+        - ndt_map.min_b
     off = jnp.asarray(offsets, jnp.int32)  # [K, 3]
     nijk = ijk[:, None, :] + off[None, :, :]  # [N, K, 3]
     in_bounds = jnp.all((nijk >= 0) & (nijk < ndt_map.div), axis=-1)
     nvid = jnp.sum(nijk * ndt_map.div_mul, axis=-1)
-    g_cap = ndt_map.lut.shape[0] * 16
     ok = in_bounds & (nvid >= 0)
-    h = jnp.where(ok, nvid & (g_cap - 1), 0)
-    lut_rows = ndt_map.lut[h >> 4]  # [..., 16]
-    lane = jax.lax.broadcasted_iota(jnp.int32, lut_rows.shape,
-                                    lut_rows.ndim - 1)
-    slot = jnp.max(jnp.where(lane == (h & 15)[..., None], lut_rows, -1), -1)
-    slot = jnp.maximum(slot, 0)
+    slot = jnp.searchsorted(ndt_map.unique_ids, nvid).astype(jnp.int32)
+    slot = jnp.minimum(slot, ndt_map.unique_ids.shape[0] - 1)
     found = ok & (ndt_map.vid_of_slot[slot] == nvid)
     return slot, found
 
@@ -460,39 +475,76 @@ def _point_hessians(src_xyz, h_tab):
 
 
 class NeighborhoodStats(NamedTuple):
-    """Per-(point, neighbor) voxel statistics gathered at one chart point.
+    """Per-(offset, point) voxel statistics gathered at one chart point.
 
-    SoA [N*K] views of the packed map rows: Gaussian mean, inverse
-    covariance (symmetric 6), and the combined validity gate (in-bounds,
-    id-verified, occupied voxel, valid source point)."""
+    ``packed`` is a single [10, K*N] array in OFFSET-MAJOR order (all
+    points' offset-0 rows, then offset-1, ...): rows 0-2 Gaussian mean,
+    rows 3-8 inverse covariance (symmetric xx, xy, xz, yy, yz, zz), row 9
+    the combined validity gate as 0/1 float (in-bounds, id-verified,
+    occupied voxel, valid source point). The SoA properties are contiguous
+    row views (free slices); the packed form feeds the Pallas kernel
+    without further copies."""
 
-    mx: jax.Array
-    my: jax.Array
-    mz: jax.Array
-    cxx: jax.Array
-    cxy: jax.Array
-    cxz: jax.Array
-    cyy: jax.Array
-    cyz: jax.Array
-    czz: jax.Array
-    valid: jax.Array  # bool [N*K]
+    packed: jax.Array  # [10, K*N]
+
+    @property
+    def mx(self):
+        return self.packed[0]
+
+    @property
+    def my(self):
+        return self.packed[1]
+
+    @property
+    def mz(self):
+        return self.packed[2]
+
+    @property
+    def cxx(self):
+        return self.packed[3]
+
+    @property
+    def cxy(self):
+        return self.packed[4]
+
+    @property
+    def cxz(self):
+        return self.packed[5]
+
+    @property
+    def cyy(self):
+        return self.packed[6]
+
+    @property
+    def cyz(self):
+        return self.packed[7]
+
+    @property
+    def czz(self):
+        return self.packed[8]
+
+    @property
+    def valid(self):
+        return self.packed[9] > 0.5
 
 
 def _expand(v, N, K):
-    """[N] -> [NK] by repeating each element K times (pure broadcast)."""
-    return jnp.broadcast_to(v[:, None], (N, K)).reshape(N * K)
+    """[N] -> [K*N] offset-major (tile K times; pure broadcast)."""
+    return jnp.broadcast_to(v[None, :], (K, N)).reshape(K * N)
 
 
 def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
                         resolution, offsets) -> NeighborhoodStats:
-    """Voxel lookup + stats gather for every (source point, DIRECT offset).
+    """Voxel lookup + stats gather for every (DIRECT offset, source point).
 
     The gather half of the reference's ``computeDerivatives`` hot loop
     (``ndt_omp_impl.hpp:178-285``): transform points by p, find their
-    neighbor voxels, and fetch each voxel's Gaussian. This is ~80% of a
-    derivative evaluation (hardware random-row gather floor), and is split
-    out so a line search can reuse one neighborhood across trial steps
-    (``NDTConfig.frozen_linesearch``)."""
+    neighbor voxels, and fetch each voxel's Gaussian as ONE [K*N, 16] row
+    gather from the hash-addressed stats table (random row gathers run at
+    a ~9-12 ns/row hardware floor — the dominant cost of an evaluation —
+    so the former slot-LUT indirection, a second NK-row gather, is gone).
+    Split out so a line search can reuse one neighborhood across trial
+    steps (``NDTConfig.frozen_linesearch``)."""
     dtype = src_xyz.dtype
     N = src_xyz.shape[0]
     K = len(offsets)
@@ -513,9 +565,9 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
     expand = lambda v: _expand(v, N, K)
 
     off = jnp.asarray(offsets, jnp.int32)  # [K, 3]
-    ox = jnp.broadcast_to(off[:, 0][None, :], (N, K)).reshape(NK)
-    oy = jnp.broadcast_to(off[:, 1][None, :], (N, K)).reshape(NK)
-    oz = jnp.broadcast_to(off[:, 2][None, :], (N, K)).reshape(NK)
+    ox = jnp.broadcast_to(off[:, 0][:, None], (K, N)).reshape(NK)
+    oy = jnp.broadcast_to(off[:, 1][:, None], (K, N)).reshape(NK)
+    oz = jnp.broadcast_to(off[:, 2][:, None], (K, N)).reshape(NK)
 
     nix = expand(ix) + ox
     niy = expand(iy) + oy
@@ -526,37 +578,24 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
         & (niz >= 0) & (niz < div[2])
     )
     nvid = nix + niy * div[0] + niz * (div[0] * div[1])
-    g_cap = ndt_map.lut.shape[0] * 16
+    g_cap = ndt_map.hash_table.shape[0]
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
-    # Two small-table row gathers beat one large-table gather: TPU gather
-    # throughput degrades with table size (random-row cache behaviour), and
-    # 1D gathers are ~2x slower than 16-wide row gathers. LUT rows + an
-    # in-register column select, then the packed stats row.
-    lut_rows = ndt_map.lut[h >> 4]  # [NK, 16] row gather (256 KB table)
-    col = (h & 15).astype(jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, lut_rows.shape, 1)
-    slot = jnp.max(jnp.where(lane == col[:, None], lut_rows, -1), axis=1)
-    slot = jnp.maximum(slot, 0)
-    stats = ndt_map.table[slot]  # [NK, 16] row gather
+    stats = ndt_map.hash_table[h]  # [NK, 16] — THE row gather
     vox_valid = stats[:, 9] > 0.5
     # Aliasing/occupancy verification via the id halves in the same row
     vid_match = (
         (stats[:, 10] == (nvid & 0xFFFF).astype(dtype))
         & (stats[:, 11] == (nvid >> 16).astype(dtype))
     )
-    found = ok & vid_match & expand(src_mask)
-    return NeighborhoodStats(
-        mx=stats[:, 0], my=stats[:, 1], mz=stats[:, 2],
-        cxx=stats[:, 3], cxy=stats[:, 4], cxz=stats[:, 5],
-        cyy=stats[:, 6], cyz=stats[:, 7], czz=stats[:, 8],
-        valid=found & vox_valid,
-    )
+    gate = (ok & vid_match & vox_valid & expand(src_mask)).astype(dtype)
+    packed = jnp.concatenate([stats[:, :9].T, gate[None]], axis=0)
+    return NeighborhoodStats(packed=packed)
 
 
 def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
                         resolution, offsets, compute_hessian: bool = True,
-                        use_pallas: bool = False,
+                        use_pallas: bool | None = None,
                         stats: NeighborhoodStats | None = None,
                         axis_name: str | None = None):
     """Score, gradient and Hessian of the NDT objective at chart point p.
@@ -567,12 +606,18 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
 
     TPU layout strategy:
     - per-point quantities are computed once on [N] lanes and expanded to
-      [N*K] by broadcast-reshape (contiguous, no random access);
-    - ALL per-voxel statistics arrive via ONE [N*K, 16] row gather from the
-      packed map table plus one int LUT gather (XLA lowers many separate 1D
-      gathers to repeated table scans — measured 77 GB of traffic/eval);
-    - the ~28 score/grad/Hessian reductions are stacked into a single
-      [C, N*K] tensor and reduced in one pass.
+      [K*N] by broadcast-tile (contiguous, no random access);
+    - ALL per-voxel statistics arrive via ONE [K*N, 16] row gather from the
+      hash-addressed map table (XLA lowers many separate 1D gathers to
+      repeated table scans — measured 77 GB of traffic/eval);
+    - on TPU f32 the entire post-gather evaluation runs as ONE Pallas
+      kernel fed by 3 per-point coordinate channels + the 10 packed stats
+      channels; everything else (transform, angular projections, the 28
+      score/grad/Hessian terms) is computed in-register (measured ~20x
+      less HBM traffic than the XLA elementwise graph, which materializes
+      ~36 K*N-sized channels). ``use_pallas=None`` auto-enables this on
+      the TPU backend; the jnp fallback stacks the 28 terms into a single
+      [C, K*N] tensor reduced in one pass (and supports f64 + autodiff).
 
     Pass ``stats`` (a prior ``gather_neighborhood`` result) to skip the
     gathers and evaluate against a frozen neighborhood.
@@ -580,45 +625,35 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     dtype = src_xyz.dtype
     N = src_xyz.shape[0]
     K = len(offsets)
-    NK = N * K
 
     T = se3.pose6_to_matrix(p)
     R, t = T[:3, :3], T[:3, 3]
     sx, sy, sz = src_xyz[:, 0], src_xyz[:, 1], src_xyz[:, 2]
-    tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
-    ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
-    tz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
 
     expand = lambda v: _expand(v, N, K)
 
     if stats is None:
         stats = gather_neighborhood(ndt_map, src_xyz, src_mask, p,
                                     resolution, offsets)
-    mx, my, mz = stats.mx, stats.my, stats.mz
-    cxx, cxy, cxz = stats.cxx, stats.cxy, stats.cxz
-    cyy, cyz, czz = stats.cyy, stats.cyz, stats.czz
 
-    if use_pallas and compute_hessian and NK % 128 == 0:
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32)
+    if use_pallas and compute_hessian and N % 128 == 0:
         # Fused post-gather Pallas kernel (see ops/ndt_pallas.py).
         from toyslam_tpu.ops import ndt_pallas
 
         j_tab, h_tab = _angle_tables(p, dtype)
-        Rrows = NK // 128
-        rs = lambda v: v.reshape(Rrows, 128)
-        xh_stack = jnp.stack([
-            rs(expand(h_tab[k, 0] * sx + h_tab[k, 1] * sy
-                      + h_tab[k, 2] * sz)) for k in range(15)])
-        channels = tuple(
-            [rs(expand(tx)), rs(expand(ty)), rs(expand(tz)),
-             rs(mx), rs(my), rs(mz),
-             rs(cxx), rs(cxy), rs(cxz), rs(cyy), rs(cyz), rs(czz),
-             rs(stats.valid.astype(dtype))]
-            + [rs(expand(j_tab[k, 0] * sx + j_tab[k, 1] * sy
-                         + j_tab[k, 2] * sz)) for k in range(8)]
-        )
-        d12 = jnp.stack([d1, d2, jnp.asarray(Rrows, dtype),
-                         jnp.zeros((), dtype)]).reshape(1, 4)
-        sums = ndt_pallas.ndt_terms(d12, channels, xh_stack)
+        R_N = N // 128
+        xyz3 = jnp.stack([sx, sy, sz]).reshape(3, R_N, 128)
+        stats10 = stats.packed.reshape(10, K * R_N, 128)
+        params = jnp.concatenate([
+            jnp.stack([d1.astype(dtype), d2.astype(dtype)]),
+            T[:3, :].reshape(-1),   # 12: rotation rows + translation col
+            j_tab.reshape(-1),      # 24
+            h_tab.reshape(-1),      # 45
+        ]).reshape(1, 83)
+        sums = ndt_pallas.ndt_terms(params, xyz3, stats10)
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
         score = sums[0]
@@ -629,6 +664,14 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
         hess = hess.at[rows, cols].set(tri)
         hess = hess.at[cols, rows].set(tri)
         return score, grad, hess
+
+    tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
+    ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
+    tz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
+
+    mx, my, mz = stats.mx, stats.my, stats.mz
+    cxx, cxy, cxz = stats.cxx, stats.cxy, stats.cxz
+    cyy, cyz, czz = stats.cyy, stats.cyz, stats.czz
 
     qx = expand(tx) - mx
     qy = expand(ty) - my
