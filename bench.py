@@ -106,8 +106,13 @@ def main():
         times.append(time.perf_counter() - t0)
     odo_sps = (S - 1) / min(t for t in times if t > 0.3 * max(times))
 
-    # ---- Tertiary: 256k-point scans (driver target scale), one dispatch ----
-    S2 = 4
+    # ---- Tertiary: 256k-point scans (driver target scale), one dispatch.
+    # SYNTHETIC input: the UrbanNav bag is absent, so each 262144-pt scan
+    # is four jittered, spatially shifted copies of the 69k sample cloud
+    # with realistic scan-to-scan motion (0.3 m/scan). S2=32 scans inside
+    # one lax.scan amortize the per-dispatch relay overhead the way a real
+    # bag replay would. ----
+    S2 = 32
     rng = np.random.default_rng(0)
     copies = []
     for i in range(4):
@@ -133,6 +138,7 @@ def main():
         o256 = run256(big_scans, big_masks, jnp.float32(2e-5 + r * 1e-5))
         jax.block_until_ready(o256)
         times.append(time.perf_counter() - t0)
+    assert bool(np.asarray(o256.converged)[1:].all()), "256k odometry diverged"
     sps256 = (S2 - 1) / min(t for t in times if t > 0.3 * max(times))
 
     baseline_sps = 1000.0 / 34.33  # pclomp DIRECT7 8-thread amortized
@@ -145,7 +151,7 @@ def main():
         "vs_baseline": round(align_sps / baseline_sps, 2),
         "ms_per_align": round(ms_align, 3),
         "odometry_scans_per_sec_03leaf": round(odo_sps, 2),
-        "odometry_scans_per_sec_256kpt": round(sps256, 2),
+        "odometry_scans_per_sec_256kpt_synthetic": round(sps256, 2),
         "backend": jax.default_backend(),
     }))
     return 0

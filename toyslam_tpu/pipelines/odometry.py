@@ -42,6 +42,12 @@ class OdometryConfig(NamedTuple):
         # Line-search trials reuse the first trial's voxel gather (the
         # dominant cost); first-trial-accepted iterations stay exact.
         frozen_linesearch=True,
+        # Regather the voxel neighborhood only for the first 2 Newton
+        # steps and carry it afterwards: gathers are the hard cost floor
+        # (~9-12 ns/row), warm-started odometry poses move sub-voxel after
+        # 2 steps, and the result stays within 5 mm of always-regather
+        # (pinned by test_turbo_regather_stays_near_exact).
+        regather_iterations=2,
     )
     scan_leaf: float = 0.3  # per-scan downsample (``:88``)
     map_leaf: float = 0.5  # global-map re-filter (``:153``)
@@ -50,6 +56,21 @@ class OdometryConfig(NamedTuple):
     # loop. 0.3 m-leaf urban scans hold ~4-15k points; keeping the full raw
     # capacity would make every registration process dead padded lanes.
     work_capacity: int = 16384
+    # Coarse-to-fine align: run Newton first on a coarser downsample of the
+    # source (same map; random row gathers are the align's hard cost floor
+    # and scale with source points), then refine on the full working cloud
+    # warm-started from the coarse pose. Both stages use the identical
+    # |dp| < eps convergence test, so the fine stage converges to the same
+    # optimum in 1-3 iterations instead of 5-10 (pinned within mm by
+    # test_coarse_to_fine_matches_direct). 0.0 disables (single-stage
+    # exact reference control flow).
+    coarse_leaf: float = 0.9
+    coarse_capacity: int = 6144
+    # Fine-stage regather budget: the coarse pose is already sub-voxel, so
+    # the single neighborhood gather at the warm-started guess serves the
+    # whole refinement (NDTConfig.regather_iterations for the fine stage;
+    # 0 = freeze the initial gather).
+    fine_regather: int = 0
 
 
 class OdometryOutput(NamedTuple):
@@ -69,7 +90,19 @@ def _scan_step(cfg: OdometryConfig):
 
         m = ndt.build_ndt_map(prev_ds, cfg.ndt)
         guess = prev_T if cfg.warm_start else jnp.eye(4, dtype=xyzi.dtype)
-        res = ndt.ndt_align(m, cur_ds, guess, cfg.ndt)
+        if cfg.coarse_leaf > 0:
+            # Coarse stage: same map, fewer source points (downsampled
+            # from the already-downsampled working cloud — cheap sort).
+            cur_coarse = voxel_downsample(cur_ds, cfg.coarse_leaf,
+                                          cfg.coarse_capacity)
+            res_c = ndt.ndt_align(m, cur_coarse, guess, cfg.ndt)
+            guess = jnp.where(res_c.converged, res_c.transform, guess)
+            fine_cfg = cfg.ndt._replace(
+                regather_iterations=min(cfg.fine_regather,
+                                        cfg.ndt.regather_iterations))
+            res = ndt.ndt_align(m, cur_ds, guess, fine_cfg)
+        else:
+            res = ndt.ndt_align(m, cur_ds, guess, cfg.ndt)
 
         eye = jnp.eye(4, dtype=xyzi.dtype)
         T = jnp.where(res.converged, res.transform, eye)

@@ -198,19 +198,24 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != _INT_MAX)
-    # Slot of every sorted element = running count of group starts; scatter
-    # unique ids straight into the [map_capacity] table (out-of-capacity
-    # voxels drop) — sorted with INT32_MAX padding by construction.
+    # Slot of every sorted element = running count of group starts.
+    # Compaction scatters stay strictly IN-BOUNDS (add-form): out-of-range
+    # indices with mode="drop" hit a slow serialized XLA scatter path on
+    # TPU (measured ~3 ms vs ~free at 256k updates).
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    unique_ids = jnp.full((V,), _INT_MAX, jnp.int32)
-    unique_ids = unique_ids.at[jnp.where(first, pos, V)].set(
-        sorted_vid, mode="drop"
-    )
-    # Per-point slot via the sort permutation (one scatter — a binary search
-    # here cost 13 rounds of slow 1D gathers).
-    slot = jnp.zeros((n,), jnp.int32).at[order].set(jnp.minimum(pos, V - 1))
-    in_map = (unique_ids[jnp.minimum(slot, V - 1)] == vid) & mask
-    slot = jnp.minimum(slot, V - 1)
+    n_unique = jnp.maximum(pos[-1] + 1, 0)
+    keep = first & (pos < V)
+    summed = jnp.zeros((V,), jnp.int32).at[
+        jnp.where(keep, pos, 0)
+    ].add(jnp.where(keep, sorted_vid, 0))
+    unique_ids = jnp.where(jnp.arange(V, dtype=jnp.int32)
+                           < jnp.minimum(n_unique, V),
+                           summed, _INT_MAX)
+    # Per-point slot via the sort permutation (one in-bounds scatter — a
+    # binary search here cost 13 rounds of slow 1D gathers).
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.minimum(pos, V - 1), unique_indices=True)
+    in_map = (unique_ids[slot] == vid) & mask
 
     w = in_map.astype(dtype)
     # Two-pass centered covariance in voxel-corner coordinates. The
@@ -333,17 +338,20 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # slot-LUT indirection cost a second NK-row gather per evaluation).
     # Exact when the grid fits in the capacity; otherwise aliased ids are
     # caught by the id halves in channels 10/11 (aliased losers simply
-    # leave the map). Empty rows: zero stats (benign math, gated out) but
-    # -1 id channels so verification never matches — non-zero fill in the
-    # icov channels would make q^T C q negative -> exp overflow ->
-    # 0 * inf = NaN.
+    # leave the map).
     cap = config.grid_capacity
     h = unique_ids & (cap - 1)
-    scatter_h = jnp.where(valid & (unique_ids != _INT_MAX), h, cap)
-    hash_table = jnp.zeros((cap, 16), dtype)
-    hash_table = hash_table.at[:, 10].set(-1.0)
-    hash_table = hash_table.at[:, 11].set(-1.0)
-    hash_table = hash_table.at[scatter_h].set(table, mode="drop")
+    ok_row = valid & (unique_ids != _INT_MAX)
+    h_safe = jnp.where(ok_row, h, 0)
+    # In-bounds add-form scatter (invalid rows add zeros at slot 0; OOB
+    # drop-scatters hit the slow serialized TPU path). Two hash-aliased
+    # valid voxels ADD their rows — the summed id halves then match neither
+    # id, so both drop out of lookups (the set-form kept one; either way
+    # aliasing losers leave the map). Empty slots keep all-zero rows: the
+    # valid flag in channel 9 gates them out at lookup, so no -1 id fill
+    # is needed.
+    hash_table = jnp.zeros((cap, 16), dtype).at[h_safe].add(
+        jnp.where(ok_row[:, None], table, 0.0))
 
     return NDTMap(
         unique_ids=unique_ids,
@@ -1024,7 +1032,15 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         degenerate = (norm == 0) | ~jnp.isfinite(norm)
 
         step_dir = delta_p / jnp.where(degenerate, 1.0, norm)
-        if turbo:
+        if turbo and config.regather_iterations == 0:
+            # Fully frozen: the p0 neighborhood serves the whole align as a
+            # loop-invariant closure — no stats in the while carry (which
+            # would copy the multi-MB buffer every iteration), no cond.
+            a_t, p_new, score_n, grad_n, hess_n = line_search(
+                p, step_dir, norm, score, grad, hess, ls_stats=stats0
+            )
+            ls_stats = None
+        elif turbo:
             # Predict the first trial point (mirrors line_search's descent
             # reversal + clip) and regather only for the first
             # regather_iterations Newton steps; afterwards the previous
@@ -1064,7 +1080,7 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
             p=p_out, score=score_out, grad=grad_out, hess=hess_out,
             it=it + 1, converged=converged, failed=carry["failed"] | failed,
         )
-        if turbo:
+        if turbo and config.regather_iterations != 0:
             out["stats"] = ls_stats
         return out
 
@@ -1073,7 +1089,7 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         it=jnp.zeros((), jnp.int32), converged=jnp.asarray(False),
         failed=jnp.asarray(False),
     )
-    if turbo:
+    if turbo and config.regather_iterations != 0:
         carry0["stats"] = stats0
     carry = jax.lax.while_loop(newton_cond, newton_body, carry0)
 
