@@ -39,16 +39,30 @@ def main(argv=None):
     ap.add_argument("--kf-hz", type=float, default=4.0)
     ap.add_argument("--range-noise", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", choices=("auto", "tpu", "cpu"),
+                    default="auto",
+                    help="tpu runs the smoother on-chip in f32 (Cholesky "
+                         "GN; f32-vs-f64 parity < 1 cm pinned by "
+                         "test_window_f32_matches_f64); cpu uses the f64 "
+                         "oracle path")
     args = ap.parse_args(argv)
 
     import jax
 
-    # The smoother is validated in float64, and f64 dense linalg (LU) is
-    # not implemented on TPU — this is host-scale estimator math (tens of
-    # keyframes), so run it on CPU like the reference node does.
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    use_tpu = args.device != "cpu" and jax.default_backend() in ("tpu",)
+    if use_tpu and args.device == "auto" or args.device == "tpu":
+        dtype_name = "float32"  # TPU has no f64 dense solves
+    else:
+        jax.config.update("jax_platforms", "cpu")
+        dtype_name = "float64"
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
+    print(f"backend: {jax.default_backend()}, dtype: {dtype_name}")
 
     from toyslam_tpu.core import se3
     from toyslam_tpu.estimators import preintegration, trilateration, window
@@ -60,7 +74,7 @@ def main(argv=None):
     T = int(args.duration * args.imu_hz)
     imu_per_kf = max(int(args.imu_hz / args.kf_hz), 2)
     n_kf = T // imu_per_kf
-    t = (jnp.arange(T, dtype=jnp.float64) + 1) * dt
+    t = (jnp.arange(T, dtype=dtype) + 1) * dt
     traj_fn = getattr(trajectories, args.trajectory)
     traj = traj_fn(t)
 
@@ -74,15 +88,15 @@ def main(argv=None):
     # uwb_node: NLLS position fixes from ranges
     fixes, rms = trilateration.solve_positions_batch(
         ranges, sensors.DEFAULT_BEACONS,
-        jnp.asarray([0.0, 0.0, 1.0], jnp.float64))
+        jnp.asarray([0.0, 0.0, 1.0], dtype))
     fixes = np.asarray(fixes)
 
     cfg = window.WindowConfig(window_size=10, gn_iterations=5,
                               pos_sigma=max(args.range_noise, 0.01))
-    win = window.window_init(cfg, jnp.float64)
+    win = window.window_init(cfg, dtype)
     params = preintegration.PreintegrationParams(acc_noise=0.03,
                                                  gyro_noise=0.002)
-    gw = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+    gw = jnp.asarray([0.0, 0.0, -9.81], dtype)
 
     push = jax.jit(window.window_push, static_argnums=7)
     optimize = jax.jit(window.window_optimize, static_argnums=1)
@@ -97,21 +111,21 @@ def main(argv=None):
     for k in range(n_kf):
         lo, hi = k * imu_per_kf, (k + 1) * imu_per_kf
         q_start = traj["quat"][lo] if k > 0 else traj_fn(
-            jnp.zeros((), jnp.float64))["quat"]
+            jnp.zeros((), dtype))["quat"]
         R_T = se3.quat_to_rot(se3.quat_conjugate(q_start))
         pre = preint(
-            acc[lo:hi], gyro[lo:hi], jnp.full((imu_per_kf,), dt, jnp.float64),
-            jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64),
+            acc[lo:hi], gyro[lo:hi], jnp.full((imu_per_kf,), dt, dtype),
+            jnp.zeros(3, dtype), jnp.zeros(3, dtype),
             gravity_sensor=R_T @ gw, params=params)
 
         guess = NavState(
             p=jnp.asarray(fixes[k]), q=traj["quat"][hi - 1],
-            v=jnp.zeros(3, jnp.float64), ba=jnp.zeros(3, jnp.float64),
-            bg=jnp.zeros(3, jnp.float64))
-        stamp = jnp.asarray(float(kf_idx[k]) * dt, jnp.float64)
+            v=jnp.zeros(3, dtype), ba=jnp.zeros(3, dtype),
+            bg=jnp.zeros(3, dtype))
+        stamp = jnp.asarray(float(kf_idx[k]) * dt, dtype)
         win = push(win, guess, stamp, jnp.asarray(fixes[k]),
                    jnp.asarray(True), pre,
-                   jnp.asarray(imu_per_kf * dt, jnp.float64), cfg)
+                   jnp.asarray(imu_per_kf * dt, dtype), cfg)
         win = optimize(win, cfg)
 
         newest = int(win.count) - 1

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""End-to-end GNSS SPP demo: the epoch pipeline as a CLI.
+
+The ``gnssSpp`` node user story without ROS:
+
+    python apps/gnss_demo.py out_dir [--epochs 60] [--noise 1.5]
+        [--n-sats 24] [--seed 0] [--speed 1.5]
+
+Simulates a Kepler constellation over a moving receiver (Hong Kong
+reference point), feeds pseudorange + Doppler epochs through the ephemeris
+store -> masks/weights -> WLS position + Doppler velocity pipeline
+(``gnss/pipeline.py``), and writes:
+
+    out_dir/gnss_position.csv   the reference's CSV column set
+                                (``gnssSpp.cpp:1086-1108``)
+    out_dir/skyplot.jsonl       per-epoch per-satellite az/el/CN0/used —
+                                the headless skyplot/DOP stream
+                                (``RangingRC.cpp:1917-3497`` equivalent)
+    out_dir/solution.csv        EvaPos-compatible ENU trajectory
+
+and prints the ENU ATE vs ground truth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--noise", type=float, default=1.5)
+    ap.add_argument("--n-sats", type=int, default=24)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speed", type=float, default=1.5)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    # Orbit propagation needs f64 (sub-meter at 2.6e7 m radii); the epoch
+    # math is host-scale — run on CPU like the reference node.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from toyslam_tpu.core.geodesy import (
+        SPEED_OF_LIGHT, EARTH_ROTATION_RATE, ecef_to_enu_rotation,
+        ecef_to_lla, lla_to_ecef)
+    from toyslam_tpu.gnss import atmosphere, pipeline, spp
+    from toyslam_tpu.gnss.ephemeris import sat_pos_vel_clock
+    from toyslam_tpu.utils import evalio
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    lat0, lon0 = np.deg2rad(22.3), np.deg2rad(114.17)
+    ref = lla_to_ecef(jnp.float64(lat0), jnp.float64(lon0), jnp.float64(50.0))
+    R = ecef_to_enu_rotation(jnp.float64(lat0), jnp.float64(lon0))
+    v_ecef = jnp.matmul(R.T, jnp.asarray([args.speed, 0.4, 0.0], jnp.float64))
+
+    eph = pipeline.synthetic_constellation(args.n_sats, toe=1000.0)
+    store = pipeline.store_init()
+    for k in range(args.n_sats):
+        store = store.update(jax.tree_util.tree_map(lambda x: x[k], eph))
+    iono = atmosphere.IonoParams(alpha=jnp.zeros(4, jnp.float64),
+                                 beta=jnp.zeros(4, jnp.float64))
+
+    # ---- simulate the epoch log (transmit-time-consistent) ----
+    S = args.n_sats
+    tows, prs, rrs, cn0s, valids, gt = [], [], [], [], [], []
+    cb_m = 42.0
+    for e in range(args.epochs):
+        tow = 1000.0 + e
+        pos = ref + v_ecef * float(e)
+        sat = sat_pos_vel_clock(eph, jnp.full((S,), tow, jnp.float64))
+        r0 = jnp.linalg.norm(sat["pos"] - pos, axis=-1)
+        for _ in range(2):
+            sat = sat_pos_vel_clock(eph, tow - r0 / SPEED_OF_LIGHT)
+            r0 = jnp.linalg.norm(sat["pos"] - pos, axis=-1)
+        el, _az = spp.elevation_azimuth(sat["pos"], pos)
+        trop = 2.3 / jnp.maximum(jnp.sin(jnp.abs(el)), 0.1)
+        state_true = jnp.concatenate([pos, jnp.asarray([cb_m], jnp.float64)])
+        obs_true = spp.SatelliteObs(
+            pos=sat["pos"], pseudorange=r0, clock_bias=sat["clock_bias"],
+            iono_delay=jnp.zeros(S, jnp.float64), trop_delay=trop,
+            tgd=eph.tgd, weight=jnp.ones(S, jnp.float64),
+            valid=jnp.ones(S, bool))
+        pr = (spp.predicted_pseudorange(state_true, obs_true)
+              + args.noise * rng.standard_normal(S))
+        los = (sat["pos"] - pos) / r0[:, None]
+        rr = (jnp.sum(los * v_ecef, -1) - jnp.sum(los * sat["vel"], -1)
+              - (EARTH_ROTATION_RATE / SPEED_OF_LIGHT
+                 * (sat["vel"][:, 0] * pos[1] - sat["vel"][:, 1] * pos[0]))
+              + sat["clock_drift"] * SPEED_OF_LIGHT
+              + 0.05 * rng.standard_normal(S))
+        tows.append(tow)
+        prs.append(np.asarray(pr))
+        rrs.append(np.asarray(rr))
+        cn0s.append(np.clip(45.0 + 5.0 * rng.standard_normal(S), 25, 55))
+        valids.append(np.asarray(el) > 0)
+        gt.append(np.asarray(pos))
+    gt = np.stack(gt)
+
+    prn = jnp.tile(jnp.arange(1, S + 1, dtype=jnp.int32)[None], (args.epochs, 1))
+    cfg = pipeline.EpochConfig(apply_iono_correction=False)
+    run = jax.jit(lambda *a: pipeline.run_epochs(*a, config=cfg))
+    sols = run(store, iono, jnp.asarray(tows, jnp.float64), prn,
+               jnp.asarray(np.stack(prs)), jnp.asarray(np.stack(rrs)),
+               jnp.asarray(np.stack(cn0s), jnp.float64),
+               jnp.asarray(np.stack(valids)), ref)
+
+    est = np.asarray(sols.position.state)
+    enu = np.asarray(sols.enu)
+    lla = np.asarray(sols.lla)
+    gt_enu = np.einsum("ij,ej->ei", np.asarray(R), gt - np.asarray(ref))
+
+    # ---- gnss_position.csv: the reference's column set (:1086-1108) ----
+    week = 2300
+    with open(out / "gnss_position.csv", "w") as f:
+        f.write("time,gps_week,gps_tow,latitude,longitude,altitude,"
+                "ecef_x,ecef_y,ecef_z,enu_e,enu_n,enu_u,clock_bias,"
+                "num_satellites,pdop,hdop,vdop,tdop\n")
+        for e in range(args.epochs):
+            f.write(
+                f"{tows[e]:.6f},{week},{tows[e]:.6f},"
+                f"{np.rad2deg(lla[e, 0]):.9f},{np.rad2deg(lla[e, 1]):.9f},"
+                f"{lla[e, 2]:.4f},"
+                f"{est[e, 0]:.4f},{est[e, 1]:.4f},{est[e, 2]:.4f},"
+                f"{enu[e, 0]:.4f},{enu[e, 1]:.4f},{enu[e, 2]:.4f},"
+                f"{est[e, 3]:.4f},{int(np.asarray(sols.position.num_sats)[e])},"
+                f"{np.asarray(sols.position.pdop)[e]:.3f},"
+                f"{np.asarray(sols.position.hdop)[e]:.3f},"
+                f"{np.asarray(sols.position.vdop)[e]:.3f},"
+                f"{np.asarray(sols.position.tdop)[e]:.3f}\n")
+
+    # ---- skyplot.jsonl: per-epoch per-satellite stream ----
+    rec = sols.record
+    with open(out / "skyplot.jsonl", "w") as f:
+        for e in range(args.epochs):
+            f.write(json.dumps({
+                "tow": float(tows[e]),
+                "pdop": float(np.asarray(sols.position.pdop)[e]),
+                "hdop": float(np.asarray(sols.position.hdop)[e]),
+                "sats": [
+                    {"prn": int(np.asarray(rec.prn)[e, s]),
+                     "el_deg": round(float(np.rad2deg(
+                         np.asarray(rec.elevation)[e, s])), 2),
+                     "az_deg": round(float(np.rad2deg(
+                         np.asarray(rec.azimuth)[e, s])), 2),
+                     "cn0": round(float(np.asarray(rec.cn0)[e, s]), 1),
+                     "used": bool(np.asarray(rec.used)[e, s])}
+                    for s in range(S)
+                ]}) + "\n")
+
+    # ---- EvaPos-compatible ENU solution ----
+    T = np.tile(np.eye(4), (args.epochs, 1, 1))
+    T[:, :3, 3] = enu
+    traj = evalio.from_transforms(np.asarray(tows), T,
+                                  vel=np.asarray(sols.velocity.vel_enu))
+    evalio.write_evapos_csv(out / "solution.csv", traj)
+
+    err = np.linalg.norm(enu - gt_enu, axis=1)
+    ate = float(np.sqrt(np.mean(err ** 2)))
+    n_used = np.asarray(sols.position.num_sats)
+    print(f"epochs: {args.epochs}, used sats (median): {int(np.median(n_used))}")
+    print(f"ENU ATE vs ground truth: {ate:.3f} m "
+          f"(pseudorange noise {args.noise} m)")
+    print(f"velocity valid: {int(np.asarray(sols.velocity.valid).sum())}"
+          f"/{args.epochs}")
+    print(f"wrote {out}/gnss_position.csv, skyplot.jsonl, solution.csv")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Closed-loop tests for the streaming flagship smoother pipeline
+(pipelines/batch_fusion), mirroring the reference's GPS branch
+(``uwb_imu_batch_node.cpp``: gpsCallback -> createKeyframe ->
+optimizeFactorGraph with GPS position/velocity/orientation factors)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toyslam_tpu.core import se3
+from toyslam_tpu.estimators import window
+from toyslam_tpu.pipelines import batch_fusion
+from toyslam_tpu.sim import sensors, trajectories
+
+
+def _make_log(n_kf=13, imu_per_kf=50, hz=200.0, seed=0, gps_sigma=0.15,
+              dtype=jnp.float64):
+    dt = 1.0 / hz
+    T = n_kf * imu_per_kf
+    t = (jnp.arange(T, dtype=dtype) + 1) * dt
+    traj = trajectories.circle(t, radius=3.0, omega=0.4)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    acc, gyro = sensors.simulate_imu(k1, traj)
+    kf_idx = jnp.arange(imu_per_kf - 1, T, imu_per_kf)
+
+    meas_p = traj["pos"][kf_idx] + gps_sigma * jax.random.normal(
+        k2, (n_kf, 3), dtype)
+    meas_v = traj["vel"][kf_idx] + 0.05 * jax.random.normal(
+        k3, (n_kf, 3), dtype)
+    meas_q = traj["quat"][kf_idx]
+    meas_t = t[kf_idx]
+
+    imu_acc = acc.reshape(n_kf, imu_per_kf, 3)
+    imu_gyro = gyro.reshape(n_kf, imu_per_kf, 3)
+    imu_dt = jnp.full((n_kf, imu_per_kf), dt, dtype)
+    imu_valid = jnp.ones((n_kf, imu_per_kf), bool)
+    gt_p = traj["pos"][kf_idx]
+    gt_v = traj["vel"][kf_idx]
+    return (imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, meas_v,
+            meas_q, gt_p, gt_v)
+
+
+@pytest.mark.slow
+def test_streaming_gps_smoother_beats_raw_fixes():
+    """GPS mode end-to-end: noisy fixes + velocity + orientation factors
+    through the streaming pipeline; the smoothed keyframes must beat the
+    raw fixes (VERDICT r1 item 3 acceptance)."""
+    (imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, meas_v,
+     meas_q, gt_p, gt_v) = _make_log(gps_sigma=0.3, seed=1)
+    M = meas_p.shape[0]
+    cfg = batch_fusion.BatchFusionConfig(
+        window=window.WindowConfig(
+            window_size=10, gn_iterations=5,
+            use_gps=True, gps_pos_sigma=0.3, gps_pos_z_sigma_factor=1.0,
+            use_gps_velocity=True, gps_vel_sigma=0.05,
+            use_gps_orientation=True, gps_orientation_sigma=0.1,
+            simplified_first_n=3))
+    out = batch_fusion.batch_fusion(
+        imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p,
+        jnp.ones((M,), bool),
+        meas_v=meas_v, meas_v_valid=jnp.ones((M,), bool),
+        meas_q=meas_q, meas_q_valid=jnp.ones((M,), bool), config=cfg)
+
+    est = np.asarray(out.kf_p)
+    gt = np.asarray(gt_p)
+    raw = np.asarray(meas_p)
+    est_rmse = np.sqrt(np.mean(np.sum((est[3:] - gt[3:]) ** 2, 1)))
+    raw_rmse = np.sqrt(np.mean(np.sum((raw[3:] - gt[3:]) ** 2, 1)))
+    assert est_rmse < raw_rmse, (est_rmse, raw_rmse)
+    assert est_rmse < 0.35, est_rmse
+    # velocity tracked via GPS velocity factors + IMU
+    v_err = np.linalg.norm(np.asarray(out.kf_v)[3:] - np.asarray(gt_v)[3:],
+                           axis=1)
+    assert np.median(v_err) < 0.2, v_err
+    assert not bool(np.asarray(out.reset).any())
+
+
+@pytest.mark.slow
+def test_streaming_divergence_reset_and_gap_fill():
+    """A corrupted mid-log stretch (IMU gap + a far-off guess) must trigger
+    the blended divergence reset and recover, and the synthetic-IMU gap
+    fill must keep the chain finite."""
+    (imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, meas_v,
+     meas_q, gt_p, gt_v) = _make_log(gps_sigma=0.1, seed=2)
+    M = meas_p.shape[0]
+    # knock out the IMU chunk of keyframe 6 entirely (buffer gap)
+    imu_valid = imu_valid.at[6].set(False)
+    cfg = batch_fusion.BatchFusionConfig(
+        window=window.WindowConfig(
+            window_size=8, gn_iterations=4,
+            use_gps=True, gps_pos_sigma=0.1, gps_pos_z_sigma_factor=1.0,
+            use_gps_velocity=True, gps_vel_sigma=0.05,
+            simplified_first_n=3),
+        max_position_error=2.0)
+    out = batch_fusion.batch_fusion(
+        imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p,
+        jnp.ones((M,), bool),
+        meas_v=meas_v, meas_v_valid=jnp.ones((M,), bool), config=cfg)
+    est = np.asarray(out.kf_p)
+    assert np.isfinite(est).all()
+    # after the gap the estimate re-locks to the fixes
+    tail_err = np.linalg.norm(est[8:] - np.asarray(gt_p)[8:], axis=1)
+    assert tail_err.max() < 1.0, tail_err
+
+
+def test_high_rate_trajectory_shapes_and_continuity():
+    (imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, meas_v,
+     meas_q, gt_p, gt_v) = _make_log(n_kf=4, imu_per_kf=20, seed=3)
+    kf = batch_fusion.NavState(
+        p=gt_p.astype(jnp.float64),
+        q=meas_q, v=gt_v.astype(jnp.float64),
+        ba=jnp.zeros((4, 3), jnp.float64), bg=jnp.zeros((4, 3), jnp.float64))
+    ps, qs, vs = batch_fusion.high_rate_trajectory(
+        kf, imu_acc, imu_gyro, imu_dt, imu_valid)
+    assert ps.shape == (4, 20, 3) and qs.shape == (4, 20, 4)
+    assert bool(jnp.isfinite(ps).all())
+    # first tick stays near the keyframe it starts from (dt = 5 ms)
+    step0 = np.linalg.norm(np.asarray(ps[:, 0]) - np.asarray(gt_p), axis=1)
+    assert step0.max() < 0.05, step0

@@ -11,7 +11,8 @@ from toyslam_tpu.sim import trajectories, sensors
 
 def _run_smoother(n_kf=13, imu_per_kf=50, hz=200.0, seed=0,
                   cfg=window.WindowConfig(window_size=10, gn_iterations=5,
-                                          pos_sigma=0.05)):
+                                          pos_sigma=0.05),
+                  dtype=jnp.float64):
     dt = 1.0 / hz
     T = n_kf * imu_per_kf
     t = (jnp.arange(T, dtype=jnp.float64) + 1) * dt
@@ -23,10 +24,15 @@ def _run_smoother(n_kf=13, imu_per_kf=50, hz=200.0, seed=0,
     meas = traj["pos"][kf_idx] + 0.05 * jax.random.normal(
         k2, (n_kf, 3), jnp.float64)
 
-    win = window.window_init(cfg, jnp.float64)
+    # Measurements/IMU are generated in f64 and cast so f32 and f64 runs
+    # see bit-identical inputs.
+    traj = {k: v.astype(dtype) for k, v in traj.items()}
+    acc, gyro, meas = acc.astype(dtype), gyro.astype(dtype), meas.astype(dtype)
+
+    win = window.window_init(cfg, dtype)
     params = preintegration.PreintegrationParams(acc_noise=0.03,
                                                  gyro_noise=0.002)
-    gw = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+    gw = jnp.asarray([0.0, 0.0, -9.81], dtype)
 
     est_p, gt_p, est_v = [], [], []
     # Orientation initialization: the reference seeds and pins attitude via
@@ -37,19 +43,19 @@ def _run_smoother(n_kf=13, imu_per_kf=50, hz=200.0, seed=0,
     for k in range(n_kf):
         lo, hi = k * imu_per_kf, (k + 1) * imu_per_kf
         q_start = traj["quat"][lo] if k > 0 else trajectories.circle(
-            jnp.zeros((), jnp.float64), 3.0, 0.4)["quat"]
+            jnp.zeros((), jnp.float64), 3.0, 0.4)["quat"].astype(dtype)
         R_T = se3.quat_to_rot(se3.quat_conjugate(q_start))
         pre = preintegration.preintegrate(
-            acc[lo:hi], gyro[lo:hi], jnp.full((imu_per_kf,), dt, jnp.float64),
-            jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64),
+            acc[lo:hi], gyro[lo:hi], jnp.full((imu_per_kf,), dt, dtype),
+            jnp.zeros(3, dtype), jnp.zeros(3, dtype),
             gravity_sensor=R_T @ gw, params=params)
 
         guess = NavState(
-            p=meas[k], q=traj["quat"][hi - 1], v=jnp.zeros(3, jnp.float64),
-            ba=jnp.zeros(3, jnp.float64), bg=jnp.zeros(3, jnp.float64))
+            p=meas[k], q=traj["quat"][hi - 1], v=jnp.zeros(3, dtype),
+            ba=jnp.zeros(3, dtype), bg=jnp.zeros(3, dtype))
         win = window.window_push(
-            win, guess, jnp.asarray(float(k), jnp.float64), meas[k],
-            jnp.asarray(True), pre, jnp.asarray(imu_per_kf * dt, jnp.float64),
+            win, guess, jnp.asarray(float(k), dtype), meas[k],
+            jnp.asarray(True), pre, jnp.asarray(imu_per_kf * dt, dtype),
             cfg)
         win = window.window_optimize(win, cfg)
 
@@ -120,3 +126,21 @@ def test_window_smoother_gps_mode():
     assert bool(win.prior_valid)  # marginalization active
     speed = np.linalg.norm(est_v[-6:], axis=1)
     assert np.median(np.abs(speed - 1.2)) < 0.6, speed
+
+
+@pytest.mark.slow
+def test_window_f32_matches_f64():
+    """f32 (the on-chip dtype: TPU has no f64 dense solves) must track the
+    f64 oracle on bit-identical inputs — keyframe positions within 1 cm
+    (VERDICT r1 item 4). The Cholesky-based GN solve and the bounded
+    residual scaling are what make this hold."""
+    p32, gt, v32, _ = _run_smoother(seed=5, dtype=jnp.float32)
+    p64, _, v64, _ = _run_smoother(seed=5, dtype=jnp.float64)
+    d = np.linalg.norm(p32 - p64, axis=1)
+    assert d.max() < 1e-2, d
+    # Velocity is weakly observable during the window fill-up (position
+    # fixes + IMU only), so f32 sensitivity is amplified there; once the
+    # window is warm the agreement settles to cm/s-level.
+    dv = np.linalg.norm(v32 - v64, axis=1)
+    assert np.median(dv) < 5e-2, dv
+    assert dv[6:].max() < 0.15, dv

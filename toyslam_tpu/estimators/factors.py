@@ -160,6 +160,15 @@ def gravity_alignment_residual(s: NavState, mean_acc_body, weight=1.0):
     return (a_dir - g_dir) * weight
 
 
+def gps_orientation_residual(s: NavState, meas_q, weight=1.0):
+    """Full GPS orientation factor (GpsOrientationFactor, ``:421-470``):
+    3-dim attitude error against the measured quaternion, weighted
+    1/noise_std. The reference computes angle * axis via acos; this uses
+    the equivalent-to-first-order (and smooth at zero) small-angle form
+    2 * vec(q^-1 q_meas)."""
+    return quat_error(s.q, meas_q) * weight
+
+
 def yaw_only_orientation_residual(s: NavState, meas_yaw, weight=1.0):
     """GPS heading factor (YawOnlyOrientationFactor, ``:336-470``)."""
     R = se3.quat_to_rot(s.q)
