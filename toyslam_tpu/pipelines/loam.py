@@ -45,6 +45,12 @@ class LoamConfig(NamedTuple):
     surf_per_sector: int = 4
     edge_threshold: float = 1.0  # curvature gates (node params)
     surf_threshold: float = 0.1
+    # FLOAM-style adaptive percentile thresholds per scan line
+    # (``calculateAdaptiveEdge/SurfThreshold``, ``:744-766``): edge =
+    # max(base, p90 * 0.5), surf = max(base, p10 * 2.0), only for rings
+    # holding >= 20 curvature-valid points.
+    adaptive_thresholds: bool = True
+    adaptive_min_points: int = 20
     max_edge_features: int = 384
     max_surf_features: int = 768
     map_capacity_edge: int = 4096
@@ -52,11 +58,23 @@ class LoamConfig(NamedTuple):
     map_leaf_edge: float = 0.4
     map_leaf_surf: float = 0.8
     nn_k: int = 5
+    # 5th-NN validity gates: reject correspondences whose neighborhood is
+    # degenerate-close (sq dist < 0.01, ``:1239,:1337``) or too sparse to
+    # define a line/plane (the reference's stricter non-ALOAM factor path
+    # rejects far neighborhoods, ``:1436,:1507``).
+    max_nn_sqdist: float = 2.0
     optimization_iterations: int = 10
     system_noise: float = 1e-4  # LM damping base (A += noise*1000, :1160)
     max_corr_dist: float = 1.0  # residual gate (:1288,:1390)
     keyframe_dist: float = 1.0  # keyframing thresholds (:1626+)
     keyframe_angle: float = 0.15
+    # Every Nth frame is a keyframe regardless of motion
+    # (``keyframe_time_interval``, ``:61,:1636``)
+    keyframe_interval: int = 10
+    # Forced-motion injection (``predictMotion``, ``:630-656``): after N
+    # consecutive near-static frames (|t| < 0.02 m), nudge the prediction
+    # 5 cm forward with a small deterministic lateral component.
+    forced_motion_frames: int = 5
     min_range: float = 2.0
     max_range: float = 80.0  # sensor range (:44)
 
@@ -150,12 +168,42 @@ def organize_and_extract(cloud: PointCloud, cfg: LoamConfig) -> FeatureScan:
         sel_xyz = jnp.where(sel_mask[:, None], xs[order2], _BIG)
         return sel_xyz, sel_mask
 
+    if cfg.adaptive_thresholds:
+        # Per-ring curvature percentiles via one kv sort keyed
+        # (ring, bounded-monotone(curvature)): p90 drives the edge gate,
+        # p10 the surf gate (``:744-766``). The curvature payload rides
+        # the same sort; ring boundaries come from a segment count.
+        curv_key = jnp.where(cur_ok, curvature / (curvature + 1.0), 2.0)
+        ring_key = jnp.where(cur_ok, ring_s.astype(dtype), cfg.n_rings + 1.0)
+        _, _, curv_sorted, ring_sorted = jax.lax.sort(
+            (ring_key * 4.0 + curv_key, jnp.arange(n, dtype=jnp.int32),
+             jnp.where(cur_ok, curvature, 0.0), ring_s), num_keys=1)
+        cnt = jax.ops.segment_sum(
+            cur_ok.astype(jnp.int32), ring_s, num_segments=cfg.n_rings)
+        start = jnp.cumsum(cnt) - cnt
+        idx90 = jnp.clip(start + (cnt * 9) // 10, 0, n - 1)
+        idx10 = jnp.clip(start + cnt // 10, 0, n - 1)
+        p90 = curv_sorted[idx90]
+        p10 = curv_sorted[idx10]
+        enough = cnt >= cfg.adaptive_min_points
+        edge_thr_ring = jnp.where(enough,
+                                  jnp.maximum(cfg.edge_threshold, p90 * 0.5),
+                                  cfg.edge_threshold)
+        surf_thr_ring = jnp.where(enough,
+                                  jnp.maximum(cfg.surf_threshold, p10 * 2.0),
+                                  cfg.surf_threshold)
+        edge_thr = edge_thr_ring[ring_s]
+        surf_thr = surf_thr_ring[ring_s]
+    else:
+        edge_thr = jnp.full((n,), cfg.edge_threshold, dtype)
+        surf_thr = jnp.full((n,), cfg.surf_threshold, dtype)
+
     edge_xyz, edge_mask = pick_rounds(
-        curvature, cur_ok & (curvature > cfg.edge_threshold),
+        curvature, cur_ok & (curvature > edge_thr),
         cfg.edge_per_sector, cfg.max_edge_features,
     )
     surf_xyz, surf_mask = pick_rounds(
-        -curvature, cur_ok & (curvature < cfg.surf_threshold),
+        -curvature, cur_ok & (curvature < surf_thr),
         cfg.surf_per_sector, cfg.max_surf_features,
     )
     return FeatureScan(edge_xyz, edge_mask, surf_xyz, surf_mask)
@@ -188,7 +236,10 @@ def _accumulate_edge_factors(world_pts, mask, R_cur, local_pts, map_xyz,
     """
     idx, sqd, valid = _knn(world_pts, mask, map_xyz, map_mask, cfg.nn_k)
     nn = map_xyz[idx]  # [F, k, 3]
-    ok = jnp.all(valid, axis=1) & (sqd[:, -1] >= 0.01)  # 5 found, not too close
+    # 5 found, not degenerate-close, and the 5th neighbor near enough to
+    # define a geometric primitive (:1239; far-gate per :1436,:1507)
+    ok = (jnp.all(valid, axis=1) & (sqd[:, -1] >= 0.01)
+          & (sqd[:, -1] <= cfg.max_nn_sqdist))
 
     centroid = jnp.mean(nn, axis=1)
     c = nn - centroid[:, None, :]
@@ -225,7 +276,10 @@ def _accumulate_surf_factors(world_pts, mask, R_cur, local_pts, map_xyz,
     """Point-to-plane factors (``findSurfFactorsALOAM``, ``:1324-1421``)."""
     idx, sqd, valid = _knn(world_pts, mask, map_xyz, map_mask, cfg.nn_k)
     nn = map_xyz[idx]
-    ok = jnp.all(valid, axis=1) & (sqd[:, -1] >= 0.01)
+    # 5 found, not degenerate-close, and the 5th neighbor near enough to
+    # define a geometric primitive (:1239; far-gate per :1436,:1507)
+    ok = (jnp.all(valid, axis=1) & (sqd[:, -1] >= 0.01)
+          & (sqd[:, -1] <= cfg.max_nn_sqdist))
 
     centroid = jnp.mean(nn, axis=1)
     c = nn - centroid[:, None, :]
@@ -352,13 +406,24 @@ def loam_odometry(scans_xyzi, scans_mask, cfg: LoamConfig = LoamConfig()):
     maps0 = update_maps(maps0, feat0, q0, t0, cfg)
 
     def step(carry, scan):
-        maps, q_prev, t_prev, q_delta, t_delta, last_kf_q, last_kf_t, n_kf = carry
+        (maps, q_prev, t_prev, q_delta, t_delta, last_kf_q, last_kf_t,
+         n_kf, frame, static_frames) = carry
         xyzi, mask = scan
         feats = organize_and_extract(PointCloud(xyzi, mask), cfg)
 
-        # Constant-velocity prediction (:630-656)
+        # Constant-velocity prediction (:630-656) with forced-motion
+        # injection after consecutive near-static frames (:639-651): nudge
+        # 5 cm forward plus the reference's (frame % 3 - 1) cm lateral.
+        inject = (static_frames > cfg.forced_motion_frames) \
+            & (jnp.linalg.norm(t_delta) < 0.02)
+        t_delta_eff = jnp.where(
+            inject,
+            t_delta + jnp.stack([jnp.asarray(0.05, dtype),
+                                 0.01 * (frame % 3 - 1).astype(dtype),
+                                 jnp.zeros((), dtype)]),
+            t_delta)
         q_pred = se3.quat_normalize(se3.quat_multiply(q_prev, q_delta))
-        t_pred = t_prev + se3.quat_rotate(q_prev, t_delta)
+        t_pred = t_prev + se3.quat_rotate(q_prev, t_delta_eff)
 
         q_new, t_new = optimize_pose(feats, maps, q_pred, t_pred, cfg)
 
@@ -366,12 +431,16 @@ def loam_odometry(scans_xyzi, scans_mask, cfg: LoamConfig = LoamConfig()):
         q_prev_inv = se3.quat_conjugate(q_prev)
         q_d = se3.quat_multiply(q_prev_inv, q_new)
         t_d = se3.quat_rotate(q_prev_inv, t_new - t_prev)
+        static_new = jnp.where(jnp.linalg.norm(t_d) < 0.02,
+                               static_frames + 1, 0)
 
-        # Keyframe test (:1626+): distance or rotation since last keyframe
+        # Keyframe test (:1626-1644): distance or rotation since the last
+        # keyframe, or every keyframe_interval-th frame.
         dq = se3.quat_multiply(se3.quat_conjugate(last_kf_q), q_new)
         angle = 2.0 * jnp.arccos(jnp.clip(jnp.abs(dq[0]), 0.0, 1.0))
         dist = jnp.linalg.norm(t_new - last_kf_t)
-        is_kf = (dist > cfg.keyframe_dist) | (angle > cfg.keyframe_angle)
+        is_kf = ((dist > cfg.keyframe_dist) | (angle > cfg.keyframe_angle)
+                 | (frame % cfg.keyframe_interval == 0))
 
         maps_new = update_maps(maps, feats, q_new, t_new, cfg)
         maps_out = jax.tree_util.tree_map(
@@ -381,13 +450,14 @@ def loam_odometry(scans_xyzi, scans_mask, cfg: LoamConfig = LoamConfig()):
         last_kf_t = jnp.where(is_kf, t_new, last_kf_t)
 
         carry_new = (maps_out, q_new, t_new, q_d, t_d, last_kf_q, last_kf_t,
-                     n_kf + is_kf.astype(jnp.int32))
+                     n_kf + is_kf.astype(jnp.int32), frame + 1, static_new)
         return carry_new, (t_new, q_new)
 
     carry0 = (maps0, q0, t0, se3.quat_identity(dtype), jnp.zeros(3, dtype),
-              q0, t0, jnp.ones((), jnp.int32))
+              q0, t0, jnp.ones((), jnp.int32), jnp.ones((), jnp.int32),
+              jnp.zeros((), jnp.int32))
     carry, (ts, qs) = jax.lax.scan(step, carry0,
                                    (scans_xyzi[1:], scans_mask[1:]))
     positions = jnp.concatenate([t0[None], ts], 0)
     quats = jnp.concatenate([q0[None], qs], 0)
-    return LoamOutput(positions, quats, carry[-1])
+    return LoamOutput(positions, quats, carry[7])
