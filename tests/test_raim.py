@@ -60,3 +60,30 @@ def test_raim_protection_levels_grow_with_noise():
             raim.RaimConfig(noise_stddev_m=noise))
         hpls.append(float(res.hpl))
     assert hpls[1] > hpls[0]
+
+
+def test_covariance_ellipse_export(rng):
+    """Headless covariance-ellipse/protection export (GPSRAIM.cpp:823-918):
+    finite, PSD, consistent with the ECEF covariance trace, and the ellipse
+    axes are ordered."""
+    from toyslam_tpu.core.geodesy import lla_to_ecef
+
+    receiver = lla_to_ecef(jnp.asarray(0.39, jnp.float64),
+                           jnp.asarray(1.99, jnp.float64),
+                           jnp.asarray(50.0, jnp.float64))
+    sim = gps_sim.simulate_constellation(
+        jax.random.PRNGKey(7), receiver, gps_sim.GpsSimConfig(n_sats=9))
+    init = jnp.concatenate([receiver + 5.0, jnp.zeros(1, jnp.float64)])
+    res = raim.raim_detect(sim["sat_pos"], sim["pseudoranges"],
+                           jnp.ones(9, bool), init)
+    ell = raim.covariance_ellipse(res)
+    cov = np.asarray(ell["cov_enu"])
+    assert np.isfinite(cov).all()
+    np.testing.assert_allclose(cov, cov.T, atol=1e-12)
+    assert np.linalg.eigvalsh(cov).min() > -1e-12
+    # rotation preserves the 3x3 trace
+    np.testing.assert_allclose(
+        np.trace(cov), np.trace(np.asarray(res.covariance)[:3, :3]),
+        rtol=1e-9)
+    assert float(ell["semi_major"]) >= float(ell["semi_minor"]) > 0
+    assert float(ell["hpl"]) > 0 and float(ell["vpl"]) > 0

@@ -197,23 +197,24 @@ def voxel_downsample(cloud: PointCloud, leaf_size: float,
     # and compaction scatter are replaced by one multi-operand kv sort
     # (measured ~0.2 ms at 256k for 2 operands) plus a single sorted-order
     # segment reduction.
-    w0 = cloud.mask.astype(dtype)
     px = jnp.where(cloud.mask, cloud.xyzi[:, 0], 0.0)
     py = jnp.where(cloud.mask, cloud.xyzi[:, 1], 0.0)
     pz = jnp.where(cloud.mask, cloud.xyzi[:, 2], 0.0)
     pi = jnp.where(cloud.mask, cloud.xyzi[:, 3], 0.0)
-    sorted_vid, sw, sx, sy, sz, si = jax.lax.sort(
-        (vid, w0, px, py, pz, pi), num_keys=1)
+    sorted_vid, sx, sy, sz, si = jax.lax.sort(
+        (vid, px, py, pz, pi), num_keys=1)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != jnp.iinfo(jnp.int32).max)
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(pos[-1] + 1, 0)
     # Out-of-capacity voxels: clamp to slot V-1 with zero weight (strictly
-    # in-bounds indices; OOB drop-scatters are even slower).
+    # in-bounds indices; OOB drop-scatters are even slower). The weight
+    # channel is derived post-sort (masked points carry INT32_MAX ids), so
+    # it does not ride the sort.
     in_cap = (pos < V) & (pos >= 0)
     slot = jnp.clip(pos, 0, V - 1)
-    w = sw * in_cap.astype(dtype)
+    w = ((sorted_vid != jnp.iinfo(jnp.int32).max) & in_cap).astype(dtype)
     acc = jax.ops.segment_sum(
         jnp.stack([w, sx * w, sy * w, sz * w, si * w], 1),
         slot, num_segments=V, indices_are_sorted=True)

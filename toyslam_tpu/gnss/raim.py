@@ -181,3 +181,37 @@ def fault_exclusion(sat_pos, pseudoranges, valid, initial_state,
     excluded = jnp.where(ok, best, -1)
     best_result = jax.tree_util.tree_map(lambda x: x[best], results)
     return excluded, best_stat, best_result
+
+
+def covariance_ellipse(result: RaimResult):
+    """Headless export of the RViz covariance/protection visualization
+    (``publishPositionWithCovariance`` + the protection cylinder,
+    ``GPSRAIM.cpp:823-918``): the ENU-rotated position covariance, the
+    horizontal 1-sigma error-ellipse parameters (semi-axes + orientation
+    east-of-north), and the protection-level cylinder (hpl radius, vpl
+    half-height).
+
+    Returns a dict of scalars/arrays ready for JSONL serialization.
+    """
+    position = result.state[:3]
+    lla = ecef_to_lla(position)
+    R = ecef_to_enu_rotation(lla[0], lla[1])
+    cov_enu = jnp.matmul(jnp.matmul(R, result.covariance[:3, :3],
+                                    precision=_HP), R.T, precision=_HP)
+    hc = cov_enu[:2, :2]
+    tr = hc[0, 0] + hc[1, 1]
+    det = hc[0, 0] * hc[1, 1] - hc[0, 1] * hc[1, 0]
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    l_max = jnp.maximum(tr / 2.0 + disc, 0.0)
+    l_min = jnp.maximum(tr / 2.0 - disc, 0.0)
+    # Orientation of the major axis (angle of eigenvector of l_max)
+    theta = 0.5 * jnp.arctan2(2.0 * hc[0, 1], hc[0, 0] - hc[1, 1])
+    return {
+        "cov_enu": cov_enu,
+        "semi_major": jnp.sqrt(l_max),
+        "semi_minor": jnp.sqrt(l_min),
+        "orientation_rad": theta,
+        "sigma_up": jnp.sqrt(jnp.maximum(cov_enu[2, 2], 0.0)),
+        "hpl": result.hpl,
+        "vpl": result.vpl,
+    }

@@ -39,6 +39,10 @@ class OdometryConfig(NamedTuple):
         transformation_epsilon=0.01,
         max_iterations=64,
         map_capacity=8192,
+        # 32k hash slots comfortably hold the <= 8192 map voxels (aliasing
+        # ~1-2% at single-scan occupancies) and halve the per-scan
+        # hash-table scatter/init cost vs the 64k default.
+        grid_capacity=1 << 15,
         # Line-search trials reuse the first trial's voxel gather (the
         # dominant cost); first-trial-accepted iterations stay exact.
         frozen_linesearch=True,

@@ -87,6 +87,74 @@ def figure8(t, scale=10.0, omega=0.1, z=1.0):
             "gyro": jnp.stack([zero, zero, yaw_rate], -1)}
 
 
+def circuit(t, length=40.0, width=14.0, speed=2.0, z=1.0):
+    """Closed rounded-rectangle street circuit at constant speed
+    (``generateCircuitTrajectory``/``updateCircuitMotion``,
+    ``RangingRC.cpp:1014-1131``): straight segments of the road loop joined
+    by quarter-circle corners of radius width/2, traversed counterclockwise
+    by arc length. Returns the same field set as ``circle``.
+    """
+    dtype = t.dtype
+    r = width / 2.0
+    Lx = jnp.maximum(length - width, 1e-3)  # straight-segment length
+    per = 2.0 * Lx + 2.0 * jnp.pi * r
+    s = jnp.mod(speed * t, per)
+
+    # Segment boundaries along the loop: bottom straight, right half-turn,
+    # top straight, left half-turn (a stadium/discorectangle — the
+    # reference's rounded rectangle with corner radius = half width).
+    s1 = Lx            # end of bottom straight
+    s2 = s1 + jnp.pi * r  # end of right 180-deg turn
+    s3 = s2 + Lx       # end of top straight
+
+    def seg_bottom(s):
+        return (jnp.stack([s - Lx / 2.0, jnp.full_like(s, -r)], -1),
+                jnp.zeros_like(s))
+
+    def seg_right(s):
+        a = (s - s1) / r - jnp.pi / 2.0
+        return (jnp.stack([Lx / 2.0 + r * jnp.cos(a), r * jnp.sin(a)], -1),
+                a + jnp.pi / 2.0)
+
+    def seg_top(s):
+        return (jnp.stack([Lx / 2.0 - (s - s2), jnp.full_like(s, r)], -1),
+                jnp.full_like(s, jnp.pi))
+
+    def seg_left(s):
+        a = (s - s3) / r + jnp.pi / 2.0
+        return (jnp.stack([-Lx / 2.0 + r * jnp.cos(a), r * jnp.sin(a)], -1),
+                a + jnp.pi / 2.0)
+
+    xy_b, yaw_b = seg_bottom(s)
+    xy_r, yaw_r = seg_right(s)
+    xy_t, yaw_t = seg_top(s)
+    xy_l, yaw_l = seg_left(s)
+    in_b = (s < s1)[..., None]
+    in_r = ((s >= s1) & (s < s2))[..., None]
+    in_t = ((s >= s2) & (s < s3))[..., None]
+    xy = jnp.where(in_b, xy_b,
+                   jnp.where(in_r, xy_r, jnp.where(in_t, xy_t, xy_l)))
+    yaw = jnp.where(in_b[..., 0], yaw_b,
+                    jnp.where(in_r[..., 0], yaw_r,
+                              jnp.where(in_t[..., 0], yaw_t, yaw_l)))
+    pos = jnp.concatenate([xy, jnp.full(xy.shape[:-1] + (1,), z, dtype)], -1)
+    vel = jnp.stack([speed * jnp.cos(yaw), speed * jnp.sin(yaw),
+                     jnp.zeros_like(yaw)], -1)
+    # Centripetal acceleration on the turns (d/dt of vel: a = v psi_dot
+    # (-sin psi, cos psi)), zero on straights
+    on_turn = ~(in_b[..., 0] | in_t[..., 0])
+    yaw_rate = jnp.where(on_turn, speed / r, 0.0)
+    a_mag = speed * yaw_rate
+    acc = jnp.stack([-a_mag * jnp.sin(yaw), a_mag * jnp.cos(yaw),
+                     jnp.zeros_like(yaw)], -1)
+    zero = jnp.zeros_like(yaw)
+    quat = se3.quat_from_axis_angle(
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype),
+                         yaw.shape + (3,)), yaw)
+    return {"pos": pos, "vel": vel, "acc": acc, "yaw": yaw, "quat": quat,
+            "gyro": jnp.stack([zero, zero, yaw_rate], -1)}
+
+
 def line(t, speed=0.5, direction=(1.0, 0.0, 0.0), z=1.0):
     d = jnp.asarray(direction, t.dtype)
     d = d / jnp.linalg.norm(d)

@@ -67,6 +67,16 @@ def classify_signals(receiver, sat_pos, city: Buildings):
 
     Returns blocked [S] bool + number of obstructions [S].
     """
+    blocked, n, _att = classify_signals_attenuation(receiver, sat_pos, city)
+    return blocked, n
+
+
+def classify_signals_attenuation(receiver, sat_pos, city: Buildings):
+    """Classification + accumulated through-building attenuation
+    (the reference attenuates per penetrated building, ``:379-542``).
+
+    Returns (blocked [S] bool, n_obstructions [S], attenuation_db [S]).
+    """
     d = sat_pos - receiver  # [S, 3]
     rng = jnp.linalg.norm(d, axis=-1, keepdims=True)
     dir_ = d / rng
@@ -74,7 +84,8 @@ def classify_signals(receiver, sat_pos, city: Buildings):
         receiver[None, None, :], dir_[:, None, :],
         city.min_xyz[None], city.max_xyz[None], rng[:, :1],
     )  # [S, B]
-    return jnp.any(hit, axis=-1), jnp.sum(hit.astype(jnp.int32), axis=-1)
+    att = jnp.sum(jnp.where(hit, city.attenuation_db[None, :], 0.0), axis=-1)
+    return jnp.any(hit, axis=-1), jnp.sum(hit.astype(jnp.int32), axis=-1), att
 
 
 def _face_reflections(receiver, sat_pos, city: Buildings):
@@ -152,17 +163,19 @@ def signal_budget(receiver, sat_pos, elevations, city: Buildings,
     """Classification + C/N0 + pseudorange error budget
     (``:379-542,649-676``)."""
     S = sat_pos.shape[0]
-    blocked, _n = classify_signals(receiver, sat_pos, city)
+    blocked, _n, att_db = classify_signals_attenuation(receiver, sat_pos, city)
     has_refl, extra_path, bld = _face_reflections(receiver, sat_pos, city)
 
     # C/N0: nominal 45 dB-Hz at zenith, elevation-dependent roll-off
     cn0 = 45.0 - 10.0 * (1.0 - jnp.sin(jnp.abs(elevations)))
     refl_coeff = jnp.where(bld >= 0, city.reflectivity[jnp.maximum(bld, 0)], 0.0)
-    # NLOS via reflection: reflection loss; blocked w/o reflection: attenuated
+    # NLOS via reflection: reflection loss; blocked w/o reflection: the
+    # accumulated per-building material attenuation (``Buildings.
+    # attenuation_db``, summed over every penetrated building)
     cn0 = jnp.where(blocked & has_refl,
                     cn0 + 10.0 * jnp.log10(jnp.maximum(refl_coeff, 1e-3)),
                     cn0)
-    cn0 = jnp.where(blocked & ~has_refl, cn0 - 30.0, cn0)
+    cn0 = jnp.where(blocked & ~has_refl, cn0 - att_db, cn0)
 
     multipath = blocked & has_refl
     # Systematic pseudorange error: NLOS adds the extra path
@@ -189,6 +202,54 @@ def receiver_clock_walk(key, n_steps, dt, bias0=0.0, drift0=1e-7,
     drift = drift0 + jnp.cumsum(drift_steps)
     bias_s = bias0 / SPEED_OF_LIGHT + jnp.cumsum(drift * dt)
     return bias_s * SPEED_OF_LIGHT
+
+
+def simulate_urban_epochs(key, positions, times, eph, city: Buildings,
+                          ref_lla, clock_bias_m=None):
+    """Time-propagated canyon drive (``RangingRC.cpp:135-266`` + the update
+    loop): Kepler-propagate the broadcast ephemeris at every epoch, express
+    the satellites in the city's local ENU frame, and run the ray-traced
+    signal budget per epoch.
+
+    positions: [T, 3] receiver track in local ENU (the city frame);
+    times: [T] GPS seconds-of-week; eph: a ``gnss.ephemeris.GpsEphemeris``
+    (e.g. ``gnss.pipeline.synthetic_constellation``); ref_lla: [3] the ENU
+    origin. clock_bias_m: optional [T] receiver clock walk (default: a
+    generated random walk, ``:976-990``).
+
+    Returns dict(pseudoranges [T, S], budget leaves [T, S], sat_enu
+    [T, S, 3], clock_bias_m [T]).
+    """
+    from toyslam_tpu.core.geodesy import ecef_to_enu_rotation, lla_to_ecef
+    from toyslam_tpu.gnss.ephemeris import sat_pos_vel_clock
+
+    T = positions.shape[0]
+    ref_ecef = lla_to_ecef(ref_lla[0], ref_lla[1], ref_lla[2])
+    R_enu = ecef_to_enu_rotation(ref_lla[0], ref_lla[1])
+
+    if clock_bias_m is None:
+        k_clk, key = jax.random.split(key)
+        dt = jnp.where(T > 1, times[1] - times[0], 1.0)
+        clock_bias_m = receiver_clock_walk(k_clk, T, dt)
+
+    def one_epoch(carry_key, inp):
+        pos, tow, cb = inp
+        k, key = jax.random.split(carry_key)
+        sat = sat_pos_vel_clock(eph, jnp.full_like(eph.toe_sec, tow))
+        sat_enu = jnp.einsum("ij,sj->si", R_enu, sat["pos"] - ref_ecef)
+        rng = jnp.linalg.norm(sat_enu - pos, axis=-1)
+        elev = jnp.arcsin(jnp.clip((sat_enu[:, 2] - pos[2])
+                                   / jnp.maximum(rng, 1e-9), -1, 1))
+        pr, budget = simulate_urban_pseudoranges(
+            k, pos, sat_enu, elev, city, clock_bias_m=cb)
+        pr = jnp.where(sat["valid"], pr, jnp.nan)
+        usable = budget.usable & sat["valid"] & (elev > 0)
+        return key, (pr, budget._replace(usable=usable), sat_enu, elev)
+
+    key, (prs, budgets, sat_enu, elevs) = jax.lax.scan(
+        one_epoch, key, (positions, times, clock_bias_m))
+    return {"pseudoranges": prs, "budget": budgets, "sat_enu": sat_enu,
+            "elevations": elevs, "clock_bias_m": clock_bias_m}
 
 
 def simulate_urban_pseudoranges(key, receiver, sat_pos, elevations,
