@@ -208,16 +208,42 @@ def voxel_downsample(cloud: PointCloud, leaf_size: float,
     ) & (sorted_vid != jnp.iinfo(jnp.int32).max)
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(pos[-1] + 1, 0)
-    # Out-of-capacity voxels: clamp to slot V-1 with zero weight (strictly
-    # in-bounds indices; OOB drop-scatters are even slower). The weight
-    # channel is derived post-sort (masked points carry INT32_MAX ids), so
-    # it does not ride the sort.
-    in_cap = (pos < V) & (pos >= 0)
-    slot = jnp.clip(pos, 0, V - 1)
-    w = ((sorted_vid != jnp.iinfo(jnp.int32).max) & in_cap).astype(dtype)
-    acc = jax.ops.segment_sum(
-        jnp.stack([w, sx * w, sy * w, sz * w, si * w], 1),
-        slot, num_segments=V, indices_are_sorted=True)
+    # The weight channel is derived post-sort (masked points carry
+    # INT32_MAX ids), so it does not ride the sort.
+    w = (sorted_vid != jnp.iinfo(jnp.int32).max).astype(dtype)
+
+    # Segmented doubling-tree reduction over the SORTED runs: after round
+    # k, every element whose in-segment offset is a multiple of 2^(k+1)
+    # holds the sum of its next 2^(k+1) same-segment elements, so after
+    # ceil(log2 n) rounds each segment's FIRST element holds the full
+    # segment sum. This replaces the XLA scatter-add (a serialized ~9
+    # ns/update path, measured 2.2 ms at 256k updates) with log2(n)
+    # shifted masked adds — pure bandwidth — plus one compaction kv sort.
+    vals = jnp.stack([w, sx * w, sy * w, sz * w, si * w])  # [5, n]
+    seg_start = jax.lax.cummax(
+        jnp.where(first, jnp.arange(n, dtype=jnp.int32), -1))
+    off = jnp.arange(n, dtype=jnp.int32) - seg_start
+    k = 1
+    while k < n:
+        take = ((off % (2 * k)) == 0) & (pos == jnp.concatenate(
+            [pos[k:], jnp.full((k,), -1, pos.dtype)]))
+        shifted = jnp.concatenate(
+            [vals[:, k:], jnp.zeros((vals.shape[0], k), dtype)], axis=1)
+        vals = vals + jnp.where(take[None, :], shifted, 0.0)
+        k *= 2
+
+    # Compact the per-segment sums (at first-of-segment positions) to the
+    # leading V slots with one kv sort — first elements carry key = pos
+    # (already sorted ascending), everything else sorts to the back.
+    key2 = jnp.where(first & (pos < V), pos, jnp.iinfo(jnp.int32).max)
+    _, c0, c1, c2, c3, c4 = jax.lax.sort(
+        (key2, vals[0], vals[1], vals[2], vals[3], vals[4]), num_keys=1)
+    acc = jnp.stack([c0, c1, c2, c3, c4], axis=1)
+    if V <= n:
+        acc = acc[:V]
+    else:  # capacity exceeds the input point count: pad with empty slots
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((V - n, 5), dtype)], axis=0)
     # Occupied slots are exactly the first min(n_unique, V) (sorted
     # compaction) — no unique-id table needed here.
     valid = jnp.arange(V, dtype=jnp.int32) < jnp.minimum(n_unique, V)

@@ -154,8 +154,10 @@ def ndt_terms(params, xyz3, stats10, block_tiles: int | None = None,
     R_N = xyz3.shape[1]
     K = stats10.shape[1] // R_N
     if block_tiles is None:
-        block_tiles = 1
-        for b in (128, 96, 64, 48, 32, 24, 16, 12, 8, 6, 4, 3, 2):
+        # Mosaic requires the block's second-to-last dim divisible by 8
+        # (or equal to the full dim) — callers gate on R_N % 8 == 0.
+        block_tiles = 8
+        for b in (128, 96, 64, 48, 40, 32, 24, 16, 8):
             if R_N % b == 0:
                 block_tiles = b
                 break

@@ -65,9 +65,10 @@ class NDTConfig(NamedTuple):
     # resolution occupy a few thousand voxels.
     map_capacity: int = 16384
     # Fuse the post-gather derivative math into one Pallas kernel (the
-    # voxel-table gather stays in XLA). Requires N divisible by 128 and
-    # f32. None = auto: on for the TPU backend, off elsewhere (the jnp
-    # fallback also serves f64 and autodiff oracles).
+    # voxel-table gather stays in XLA). Requires N divisible by 1024 (128
+    # lanes x 8 sublanes per block) and f32. None = auto: on for the TPU
+    # backend, off elsewhere (the jnp fallback also serves f64, autodiff
+    # oracles and small clouds).
     use_pallas: bool | None = None
     # Reuse the voxel neighborhood gathered at the Newton iterate for all
     # More-Thuente trial evaluations in that iteration. The table gathers
@@ -647,7 +648,7 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and dtype == jnp.float32)
-    if use_pallas and compute_hessian and N % 128 == 0:
+    if use_pallas and compute_hessian and N % 1024 == 0:
         # Fused post-gather Pallas kernel (see ops/ndt_pallas.py).
         from toyslam_tpu.ops import ndt_pallas
 
