@@ -76,3 +76,16 @@ def test_error_stats():
     s = evalio.error_stats([1.0, 2.0, 3.0])
     assert s.current == 3.0 and s.min == 1.0 and s.max == 3.0
     assert abs(s.avg - 2.0) < 1e-12 and s.count == 3
+
+
+def test_from_transforms_velocity_irregular_timestamps():
+    """Regression (advisor r1): velocity from irregularly-sampled poses must
+    be a consistent central-difference estimator over the actual sample
+    times — constant velocity in, constant velocity out."""
+    t = np.array([0.0, 0.1, 0.35, 0.4, 0.9, 1.0])
+    v_true = np.array([2.0, -1.0, 0.5])
+    T = np.tile(np.eye(4), (len(t), 1, 1))
+    T[:, :3, 3] = t[:, None] * v_true
+    traj = evalio.from_transforms(t, T)
+    np.testing.assert_allclose(traj.vel, np.tile(v_true, (len(t), 1)),
+                               atol=1e-9)

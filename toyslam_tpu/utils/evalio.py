@@ -40,9 +40,15 @@ def from_transforms(times, transforms, vel=None) -> Trajectory:
     pos = transforms[:, :3, 3]
     if vel is None:
         t = np.asarray(times, dtype=np.float64)
-        dt = np.diff(t, prepend=t[0] - (t[1] - t[0] if len(t) > 1 else 1.0))
-        dt = np.maximum(dt, 1e-9)
-        vel = np.gradient(pos, axis=0) / dt[:, None]
+        if len(t) > 1:
+            # Consistent central differences over the actual (possibly
+            # irregular) sample times.
+            tt = t.copy()
+            # np.gradient requires strictly increasing coordinates
+            tt += np.arange(len(tt)) * 1e-12
+            vel = np.gradient(pos, tt, axis=0)
+        else:
+            vel = np.zeros_like(pos)
     return Trajectory(np.asarray(times, np.float64), pos, quat, np.asarray(vel))
 
 
