@@ -108,3 +108,25 @@ def test_config_roundtrip(tmp_path):
     import pytest
     with pytest.raises(KeyError):
         cfg.from_dict(ndt.NDTConfig, {"resolutoin": 1.0})
+
+
+def test_plotio_ellipse_and_arrow_geometry():
+    """Headless plot helpers (ICP/utils/plot.py port): the ellipse polyline
+    must lie on the chi2 covariance contour, and the arrow shaft must point
+    along yaw."""
+    from toyslam_tpu.utils import plotio
+
+    cov = np.array([[4.0, 1.2], [1.2, 1.0]])
+    chi2 = 3.0
+    e = plotio.covariance_ellipse_2d(cov, chi2)
+    assert e["a"] >= e["b"] > 0
+    poly = plotio.covariance_ellipse_polyline(2.0, -1.0, cov, chi2)
+    # Every vertex satisfies (p-c)^T cov^-1 (p-c) == chi2
+    d = poly - np.array([2.0, -1.0])
+    md = np.einsum("ni,ij,nj->n", d, np.linalg.inv(cov), d)
+    np.testing.assert_allclose(md, chi2, rtol=1e-9)
+
+    arrow = plotio.arrow_polyline(1.0, 1.0, np.pi / 4, length=2.0)
+    shaft = arrow[1] - arrow[0]
+    assert abs(np.arctan2(shaft[1], shaft[0]) - np.pi / 4) < 1e-12
+    np.testing.assert_allclose(np.linalg.norm(shaft), 2.0)

@@ -22,8 +22,9 @@ def _registry():
     if _REGISTRY:
         return _REGISTRY
     from toyslam_tpu.estimators import eskf, preintegration, trilateration, window
+    from toyslam_tpu.gnss import pipeline as gnss_pipeline
     from toyslam_tpu.gnss import raim
-    from toyslam_tpu.pipelines import fusion, icp_slam, loam, odometry
+    from toyslam_tpu.pipelines import batch_fusion, fusion, icp_slam, loam, odometry
     from toyslam_tpu.registration import gicp, icp, ndt
     from toyslam_tpu.sim import gps, sensors
 
@@ -35,11 +36,13 @@ def _registry():
         "loam": loam.LoamConfig,
         "icp_slam": icp_slam.IcpSlamConfig,
         "fusion": fusion.FusionConfig,
+        "batch_fusion": batch_fusion.BatchFusionConfig,
         "eskf": eskf.ESKFParams,
         "preintegration": preintegration.PreintegrationParams,
         "trilateration": trilateration.TrilaterationConfig,
         "window": window.WindowConfig,
         "raim": raim.RaimConfig,
+        "gnss_epoch": gnss_pipeline.EpochConfig,
         "imu_sim": sensors.ImuSimParams,
         "gps_sim": gps.GpsSimConfig,
     })

@@ -51,12 +51,41 @@ def vmap_align(targets_xyzi, targets_mask, sources_xyzi, sources_mask,
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over all visible devices.
+
+    Multi-host: under ``jax.distributed.initialize`` (one process per
+    host), ``jax.devices()`` already spans every host's chips, so the
+    same data-parallel shardings work across hosts — sequence-level
+    sharding has no inter-sequence collectives, so nothing rides DCN but
+    the final all-gather; ``sharded_align``'s per-evaluation [28]-float
+    psum is latency-bound on DCN and should stay within one host's ICI
+    (pass that host's device slice).
+    """
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np
 
     return Mesh(np.asarray(devs), (axis,))
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None):
+    """Join a multi-host run (the framework's DCN story).
+
+    Thin wrapper over ``jax.distributed.initialize`` so launchers don't
+    import jax internals: call once per host process before any backend
+    use; afterwards ``make_mesh()`` spans the full pod slice. No-op if
+    already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
 
 
 def sharded_odometry(mesh: Mesh, scans_xyzi, scans_mask,
