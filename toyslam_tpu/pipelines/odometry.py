@@ -97,6 +97,9 @@ def _scan_step(cfg: OdometryConfig):
         if cfg.coarse_leaf > 0:
             # Coarse stage: same map, fewer source points (downsampled
             # from the already-downsampled working cloud — cheap sort).
+            # (Cheapening the coarse stage further — regather 1 or a
+            # loosened eps — was measured to push the end-to-end deviation
+            # past the 5 mm bound; its seeding quality is load-bearing.)
             cur_coarse = voxel_downsample(cur_ds, cfg.coarse_leaf,
                                           cfg.coarse_capacity)
             res_c = ndt.ndt_align(m, cur_coarse, guess, cfg.ndt)
