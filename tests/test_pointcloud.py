@@ -96,3 +96,30 @@ def test_voxel_downsample_fused_capacity(rng):
                                       np.asarray(ref.mask))
         np.testing.assert_allclose(np.asarray(fused.xyzi),
                                    np.asarray(ref.xyzi), rtol=1e-6)
+
+
+def test_downsample_single_voxel_extreme_run():
+    """The segmented tree reduction must stay exact when ALL points share
+    one voxel (maximum run length = n, exercising every doubling round)."""
+    rng = np.random.default_rng(0)
+    n = 4096
+    pts = (np.array([5.0, -3.0, 1.0]) + 0.2 * rng.random((n, 3))).astype(
+        np.float32)
+    cloud = pointcloud.from_numpy(pts, capacity=n + 13)
+    ds = pointcloud.voxel_downsample(cloud, 1.0, 64)
+    assert int(ds.count) == 1
+    got = np.asarray(ds.xyzi)[np.asarray(ds.mask)][0, :3]
+    np.testing.assert_allclose(got, pts.mean(0), rtol=1e-5, atol=1e-4)
+
+
+def test_downsample_alternating_tiny_runs():
+    """Run-length-1 segments (every point its own voxel) through the tree."""
+    n = 257
+    pts = np.stack([np.arange(n, dtype=np.float32) * 2.0,
+                    np.zeros(n, np.float32),
+                    np.zeros(n, np.float32)], 1)
+    cloud = pointcloud.from_numpy(pts, capacity=n)
+    ds = pointcloud.voxel_downsample(cloud, 1.0)
+    assert int(ds.count) == n
+    got = np.sort(np.asarray(ds.xyzi)[np.asarray(ds.mask)][:, 0])
+    np.testing.assert_allclose(got, pts[:, 0], atol=1e-6)
