@@ -119,3 +119,99 @@ def test_high_rate_trajectory_shapes_and_continuity():
     # first tick stays near the keyframe it starts from (dt = 5 ms)
     step0 = np.linalg.norm(np.asarray(ps[:, 0]) - np.asarray(gt_p), axis=1)
     assert step0.max() < 0.05, step0
+
+
+def test_sharded_batch_fusion_matches_single_device():
+    """B independent smoother logs sharded over the 8-device mesh must
+    reproduce the single-device vmap run (f64: the two compilations order
+    roundoff differently, and the f32 window solve on marginal configs is
+    chaotic enough to amplify that — pinned separately below)."""
+    from toyslam_tpu.parallel import batch as pbatch
+    from toyslam_tpu.pipelines.batch_fusion import BatchFusionConfig
+
+    B = 8
+    logs = [_make_log(n_kf=5, imu_per_kf=20, seed=10 + b, gps_sigma=0.1)
+            for b in range(B)]
+    stack = lambda i: jnp.stack([lg[i] for lg in logs])
+    imu_acc, imu_gyro, imu_dt, imu_valid = (stack(0), stack(1), stack(2),
+                                            stack(3))
+    meas_t, meas_p = stack(4), stack(5)
+    p_ok = jnp.ones((B, 5), bool)
+    cfg = BatchFusionConfig(
+        window=window.WindowConfig(window_size=6, gn_iterations=4,
+                                   pos_sigma=0.1))
+
+    mesh = pbatch.make_mesh(8)
+    out_sharded = pbatch.sharded_batch_fusion(
+        mesh, imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, p_ok,
+        config=cfg)
+
+    single = jax.vmap(
+        lambda *a: batch_fusion.batch_fusion(*a, config=cfg))(
+        imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, p_ok)
+    assert np.isfinite(np.asarray(single.kf_p)).all()
+    np.testing.assert_allclose(np.asarray(out_sharded.kf_p),
+                               np.asarray(single.kf_p), atol=1e-6)
+
+
+def test_batch_fusion_f32_stays_finite_on_marginal_config():
+    """Regression: short 0.1 s IMU chunks give near-singular preintegration
+    covariances; the f32 path (triangular whitening, clamped + NaN-guarded
+    GN steps) must stay finite and keep tracking where the old explicit
+    inverse + unclamped steps NaNed."""
+    for seed in (10, 11, 15):
+        lg = _make_log(n_kf=5, imu_per_kf=20, seed=seed, gps_sigma=0.1,
+                       dtype=jnp.float32)
+        cfg = batch_fusion.BatchFusionConfig(
+            window=window.WindowConfig(window_size=6, gn_iterations=4,
+                                       pos_sigma=0.1))
+        out = batch_fusion.batch_fusion(
+            lg[0], lg[1], lg[2], lg[3], lg[4], lg[5],
+            jnp.ones((5,), bool), config=cfg)
+        p = np.asarray(out.kf_p)
+        assert np.isfinite(p).all(), (seed, p)
+        err = np.linalg.norm(p - np.asarray(lg[8]), axis=1)
+        assert err.max() < 1.0, (seed, err)
+
+
+def test_batch_fusion_checkpoint_resume_bit_identical():
+    """The streaming smoother's carry is a plain pytree: snapshotting the
+    window mid-log and resuming must reproduce the straight-through run
+    exactly (the framework's checkpoint/resume story for the flagship)."""
+    from toyslam_tpu.utils import checkpoint
+
+    (imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, meas_v,
+     meas_q, gt_p, gt_v) = _make_log(n_kf=8, imu_per_kf=20, seed=4)
+    cfg = batch_fusion.BatchFusionConfig(
+        window=window.WindowConfig(window_size=5, gn_iterations=3,
+                                   use_gps=True, gps_pos_sigma=0.15,
+                                   gps_pos_z_sigma_factor=1.0))
+    M = meas_p.shape[0]
+    ok = jnp.ones((M,), bool)
+
+    full = batch_fusion.batch_fusion(
+        imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, ok,
+        meas_v=meas_v, meas_v_valid=ok, config=cfg)
+
+    half = batch_fusion.batch_fusion(
+        imu_acc[:4], imu_gyro[:4], imu_dt[:4], imu_valid[:4],
+        meas_t[:4], meas_p[:4], ok[:4],
+        meas_v=meas_v[:4], meas_v_valid=ok[:4], config=cfg)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/win.npz"
+        checkpoint.save_checkpoint(path, half.win)
+        win_restored = checkpoint.load_checkpoint(path, half.win)
+
+    # Resume: continue the scan from the restored window + last state
+    last = batch_fusion.NavState(
+        p=half.kf_p[-1], q=half.kf_q[-1], v=half.kf_v[-1],
+        ba=half.kf_ba[-1], bg=half.kf_bg[-1])
+    resumed = batch_fusion.batch_fusion(
+        imu_acc[4:], imu_gyro[4:], imu_dt[4:], imu_valid[4:],
+        meas_t[4:], meas_p[4:], ok[4:],
+        meas_v=meas_v[4:], meas_v_valid=ok[4:], config=cfg,
+        init_window=win_restored, init_state=last, initialized=True)
+    np.testing.assert_allclose(np.asarray(resumed.kf_p),
+                               np.asarray(full.kf_p[4:]), atol=1e-9)

@@ -88,16 +88,27 @@ def imu_residual(s_i: NavState, s_j: NavState, preint: Preintegrated,
 
 
 def imu_sqrt_info(preint: Preintegrated, bias_walk_std=(0.01, 0.001)):
-    """Block sqrt-information: LLT of the 9x9 preintegration covariance
-    inverse (``:1240-1270`` region) + diagonal bias-walk weights."""
-    cov = preint.covariance + 1e-10 * jnp.eye(9, dtype=preint.covariance.dtype)
-    info = jnp.linalg.inv(cov)
-    # sqrt via Cholesky of info
-    L = jnp.linalg.cholesky(
-        0.5 * (info + info.T) + 1e-8 * jnp.eye(9, dtype=cov.dtype))
+    """Block sqrt-information: whitening factor of the 9x9 preintegration
+    covariance (``:1240-1270`` region) + diagonal bias-walk weights.
+
+    cov = L L^T  =>  ||L^-1 r||^2 = r^T cov^-1 r, so the whitener is the
+    triangular inverse of the covariance Cholesky factor — NO explicit
+    matrix inverse (inverting the near-singular short-chunk covariance in
+    f32 overflowed and NaNed the window solve; triangular solves stay
+    stable). The jitter floor is scale-aware so short chunks (tiny
+    covariances) are regularized proportionally.
+    """
+    dtype = preint.covariance.dtype
+    eye9 = jnp.eye(9, dtype=dtype)
+    scale = jnp.maximum(jnp.trace(preint.covariance) / 9.0, 1e-14)
+    cov = (0.5 * (preint.covariance + preint.covariance.T)
+           + (1e-6 * scale + 1e-14) * eye9)
+    L = jnp.linalg.cholesky(cov)
+    L = jnp.where(jnp.isfinite(L), L, eye9)
+    U = jax.scipy.linalg.solve_triangular(L, eye9, lower=True)
     ba_w = 1.0 / (bias_walk_std[0] * jnp.sqrt(jnp.maximum(preint.sum_dt, 1e-3)))
     bg_w = 1.0 / (bias_walk_std[1] * jnp.sqrt(jnp.maximum(preint.sum_dt, 1e-3)))
-    return L.T, ba_w, bg_w  # upper-triangular 9x9 + scalar bias weights
+    return U, ba_w, bg_w  # whitener (L^-1) 9x9 + scalar bias weights
 
 
 def position_residual(s: NavState, meas_p, weight):

@@ -339,7 +339,21 @@ def window_optimize(win: SlidingWindow,
         # pivoting loses digits (the fusion demo runs this on-chip in f32).
         chol = jax.scipy.linalg.cho_factor(0.5 * (H + H.T))
         delta = -jax.scipy.linalg.cho_solve(chol, g) * act15
-        states = jax.vmap(factors.state_boxplus)(w.states, delta.reshape(K, 15))
+        # Per-block step clamp (poor man's trust region; Ceres' LM bounds
+        # steps the same way in spirit). Short-chunk IMU factors carry
+        # enormous whitened weights, and an unclamped f32 GN step can
+        # overshoot into a residual overflow -> NaN spiral; near
+        # convergence steps are far below these bounds, so the fixed
+        # point (and f64 parity) is untouched.
+        d = delta.reshape(K, 15)
+        caps = jnp.asarray([2.0] * 3 + [0.5] * 3 + [5.0] * 3 + [0.1] * 6,
+                           dtype)
+        d = jnp.clip(d, -caps, caps)
+        # A residual overflow can make H indefinite in f32 -> Cholesky
+        # NaN; rejecting the step (zero update) lets the next iteration
+        # retry from the undamaged state instead of poisoning the window.
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        states = jax.vmap(factors.state_boxplus)(w.states, d)
         return w._replace(states=states)
 
     win = jax.lax.fori_loop(0, config.gn_iterations, gn_step, win)

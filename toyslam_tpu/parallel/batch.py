@@ -159,3 +159,27 @@ def sharded_align(mesh: Mesh, ndt_map: ndt.NDTMap, source: PointCloud,
         check_vma=False,
     )
     return fn(ndt_map, source.xyzi, source.mask, guess)
+
+
+def sharded_batch_fusion(mesh: Mesh, imu_acc, imu_gyro, imu_dt, imu_valid,
+                         meas_t, meas_p, meas_p_valid, config=None,
+                         axis: str = "data"):
+    """Shard B independent streaming-smoother logs over the mesh data axis
+    (the flagship estimator as a fleet: one UWB/GPS+IMU log per vehicle).
+
+    All inputs carry a leading batch dim divisible by the mesh size;
+    leaves of the returned BatchFusionOutput stay sharded on that axis.
+    """
+    from toyslam_tpu.pipelines import batch_fusion as bf
+
+    cfg = config or bf.BatchFusionConfig()
+    batched = jax.vmap(partial(bf.batch_fusion, config=cfg))
+    fn = jax.shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(P(axis),) * 7,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p,
+              meas_p_valid)

@@ -84,7 +84,10 @@ def batch_fusion(imu_acc, imu_gyro, imu_dt, imu_valid,
                  meas_v=None, meas_v_valid=None,
                  meas_q=None, meas_q_valid=None,
                  mean_acc=None,
-                 config: BatchFusionConfig = BatchFusionConfig()):
+                 config: BatchFusionConfig = BatchFusionConfig(),
+                 init_window: window.SlidingWindow | None = None,
+                 init_state: NavState | None = None,
+                 initialized: bool = False):
     """Run the streaming smoother over a measurement log.
 
     imu_*: [M, R, ...] — the IMU chunk covering (t_{m-1}, t_m], padded to R
@@ -92,6 +95,10 @@ def batch_fusion(imu_acc, imu_gyro, imu_dt, imu_valid,
     validity. Optional GPS velocity/orientation fixes and the chunk's
     keyframe-nearest accelerometer sample (gravity alignment factor).
     Returns per-measurement optimized newest states.
+
+    ``init_window``/``init_state``/``initialized`` resume a previous run
+    from a checkpointed window + current state (lax.scan carry =
+    snapshot; see test_batch_fusion_checkpoint_resume).
     """
     M, R = imu_acc.shape[:2]
     dtype = imu_acc.dtype
@@ -113,7 +120,8 @@ def batch_fusion(imu_acc, imu_gyro, imu_dt, imu_valid,
         mean_acc = imu_acc[jnp.arange(M), idx]
     acc_valid = jnp.sum(imu_valid.astype(jnp.int32), axis=1) > 0
 
-    win0 = window.window_init(cfg_w, dtype)
+    win0 = (window.window_init(cfg_w, dtype)
+            if init_window is None else init_window)
 
     def step(carry, inp):
         win, cur, initialized = carry
@@ -191,9 +199,10 @@ def batch_fusion(imu_acc, imu_gyro, imu_dt, imu_valid,
     cur0 = NavState(p=jnp.zeros(3, dtype),
                     q=jnp.zeros(4, dtype).at[0].set(1.0),
                     v=jnp.zeros(3, dtype), ba=jnp.zeros(3, dtype),
-                    bg=jnp.zeros(3, dtype))
+                    bg=jnp.zeros(3, dtype)) if init_state is None \
+        else init_state
     (win_f, _, _), outs = jax.lax.scan(
-        step, (win0, cur0, jnp.asarray(False)),
+        step, (win0, cur0, jnp.asarray(initialized, bool)),
         (meas_t, meas_p, meas_p_valid, meas_v, meas_v_valid,
          meas_q, meas_q_valid, mean_acc, acc_valid,
          imu_acc, imu_gyro, imu_dt, imu_valid))
