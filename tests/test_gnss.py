@@ -171,3 +171,18 @@ def test_klobuchar_reasonable():
         jnp.asarray(np.deg2rad(10.0)), jnp.asarray(1.0),
     )
     assert float(delay_low) > float(delay)
+
+
+def test_gps_to_unix_microsecond_autodetect():
+    """TOW published in microseconds (some receivers) is rescaled
+    (uwb_imu_batch_node.cpp:2221-2227); plain seconds pass through."""
+    from toyslam_tpu.core import geodesy
+
+    week = 2300
+    tow = 345600.0  # mid-week, seconds
+    t_sec = float(geodesy.gps_to_unix_time(week, tow))
+    t_usec = float(geodesy.gps_to_unix_time(week, tow * 1e6))
+    assert abs(t_sec - t_usec) < 1e-6
+    # round-trip
+    w2, tow2 = geodesy.unix_to_gps_time(t_sec)
+    assert int(w2) == week and abs(float(tow2) - tow) < 1e-6

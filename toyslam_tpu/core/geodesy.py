@@ -85,7 +85,12 @@ def ecef_velocity_to_enu(vel_ecef, lat, lon):
 
 
 def gps_to_unix_time(gps_week, gps_tow):
-    """GPS week/TOW -> Unix seconds (``uwb_imu_batch_node.cpp:2216-2252``)."""
+    """GPS week/TOW -> Unix seconds (``uwb_imu_batch_node.cpp:2216-2252``),
+    including the microsecond-format autodetect: a TOW above one week's
+    worth of seconds but below a week of microseconds is rescaled
+    (``:2221-2227``; some receivers publish TOW in us)."""
+    is_usec = (gps_tow > 1.0e6) & (gps_tow < GPS_SECONDS_PER_WEEK * 1.0e6)
+    gps_tow = jnp.where(is_usec, gps_tow / 1.0e6, gps_tow)
     return (GPS_UNIX_EPOCH_OFFSET + gps_week * GPS_SECONDS_PER_WEEK + gps_tow
             - GPS_LEAP_SECONDS)
 
