@@ -176,3 +176,34 @@ def test_canyon_drive_raim_flags_ray_traced_nlos():
             hits += 1
     assert faults >= 3, f"RAIM detected faults in only {faults} epochs"
     assert hits > 0, "RAIM never excluded a ray-traced NLOS satellite"
+
+
+def test_skyplot_records_classes():
+    """The headless skyplot stream carries the LOS/blocked/multipath class
+    per satellite per epoch, consistent with the signal budget."""
+    import json
+
+    from toyslam_tpu.gnss import pipeline
+
+    city = _simple_city()
+    ref_lla = jnp.asarray([0.39, 1.99, 50.0], jnp.float64)
+    eph = pipeline.synthetic_constellation(8, toe=1000.0)
+    T = 3
+    track = jnp.tile(jnp.asarray([0.0, 0.0, 1.5], jnp.float64), (T, 1))
+    out = urban.simulate_urban_epochs(
+        jax.random.PRNGKey(1), track,
+        1000.0 + jnp.arange(T, dtype=jnp.float64), eph, city, ref_lla)
+    recs = urban.skyplot_records(out, times=np.arange(T) * 1.0)
+    assert len(recs) == T and len(recs[0]["sats"]) == 8
+    # round-trips through JSON
+    blob = "\n".join(json.dumps(r) for r in recs)
+    back = [json.loads(l) for l in blob.splitlines()]
+    classes = {s["class"] for r in back for s in r["sats"]}
+    assert classes <= {"los", "blocked", "multipath"}
+    # class consistency with the budget leaves
+    b = np.asarray(out["budget"].blocked)
+    for e in range(T):
+        for s in range(8):
+            expect = ("multipath" if np.asarray(out["budget"].multipath)[e, s]
+                      else "blocked" if b[e, s] else "los")
+            assert recs[e]["sats"][s]["class"] == expect

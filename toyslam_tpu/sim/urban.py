@@ -267,3 +267,41 @@ def simulate_urban_pseudoranges(key, receiver, sat_pos, elevations,
     pr = true_range + clock_bias_m + budget.pseudorange_error + noise
     pr = jnp.where(budget.usable, pr, jnp.nan)
     return pr, budget
+
+
+def skyplot_records(epochs: dict, times=None):
+    """Serialize a ``simulate_urban_epochs`` result as the headless skyplot
+    stream (``publishSkyplot``, ``RangingRC.cpp:1917-3497``): one dict per
+    epoch with per-satellite az/el/C/N0 and the LOS / blocked / multipath
+    class the RViz skyplot colors by. JSONL-ready.
+    """
+    import numpy as np
+
+    budget = epochs["budget"]
+    sat_enu = np.asarray(epochs["sat_enu"])
+    elevs = np.asarray(epochs["elevations"])
+    blocked = np.asarray(budget.blocked)
+    multipath = np.asarray(budget.multipath)
+    cn0 = np.asarray(budget.cn0)
+    usable = np.asarray(budget.usable)
+    T, S = elevs.shape
+    out = []
+    for e in range(T):
+        az = np.arctan2(sat_enu[e, :, 0], sat_enu[e, :, 1])
+        sats = []
+        for s in range(S):
+            cls = ("multipath" if multipath[e, s]
+                   else "blocked" if blocked[e, s] else "los")
+            sats.append({
+                "sat": s + 1,
+                "el_deg": round(float(np.rad2deg(elevs[e, s])), 2),
+                "az_deg": round(float(np.rad2deg(az[s])), 2),
+                "cn0": round(float(cn0[e, s]), 1),
+                "class": cls,
+                "usable": bool(usable[e, s]),
+            })
+        out.append({
+            "t": float(times[e]) if times is not None else e,
+            "sats": sats,
+        })
+    return out
