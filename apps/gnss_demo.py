@@ -4,12 +4,12 @@
 The ``gnssSpp`` node user story without ROS:
 
     python apps/gnss_demo.py out_dir [--epochs 60] [--noise 1.5]
-        [--n-sats 24] [--seed 0] [--speed 1.5]
+        [--n-sats 24] [--seed 0] [--speed 1.5] [--device cpu|tpu]
 
 Simulates a Kepler constellation over a moving receiver (Hong Kong
 reference point), feeds pseudorange + Doppler epochs through the ephemeris
-store -> masks/weights -> WLS position + Doppler velocity pipeline
-(``gnss/pipeline.py``), and writes:
+store -> masks/weights -> WLS position + Doppler velocity pipeline, and
+writes:
 
     out_dir/gnss_position.csv   the reference's CSV column set
                                 (``gnssSpp.cpp:1086-1108``)
@@ -19,6 +19,12 @@ store -> masks/weights -> WLS position + Doppler velocity pipeline
     out_dir/solution.csv        EvaPos-compatible ENU trajectory
 
 and prints the ENU ATE vs ground truth.
+
+``--device cpu`` (default) runs the f64 ECEF pipeline (``gnss/pipeline``).
+``--device tpu`` runs the TPU-native path (``gnss/local``): f64 host prep
+linearizes each epoch about the reference anchor, then the whole epoch log
+solves ON-CHIP in f32 as one ``lax.scan`` (position GN + Doppler velocity
++ DOP), parity < 0.1 m vs the f64 pipeline (tests/test_gnss_local.py).
 """
 
 from __future__ import annotations
@@ -41,14 +47,20 @@ def main(argv=None):
     ap.add_argument("--n-sats", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--speed", type=float, default=1.5)
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="cpu: f64 ECEF pipeline; tpu: f32 on-chip "
+                         "local-frame solver (f64 prep stays on host)")
     args = ap.parse_args(argv)
 
     import jax
 
-    # Orbit propagation needs f64 (sub-meter at 2.6e7 m radii); the epoch
-    # math is host-scale — run on CPU like the reference node.
-    jax.config.update("jax_platforms", "cpu")
+    # Orbit propagation needs f64 (sub-meter at 2.6e7 m radii) — always on
+    # the host CPU. In cpu mode the solve runs there too; in tpu mode only
+    # the f32 local-frame solve dispatches to the chip.
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    cpu0 = jax.devices("cpu")[0]
 
     import jax.numpy as jnp
 
@@ -64,6 +76,11 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
 
     lat0, lon0 = np.deg2rad(22.3), np.deg2rad(114.17)
+    import contextlib
+
+    host = jax.default_device(cpu0) if args.device == "tpu" \
+        else contextlib.nullcontext()
+    host.__enter__()  # f64 simulation + prep stay on the host CPU
     ref = lla_to_ecef(jnp.float64(lat0), jnp.float64(lon0), jnp.float64(50.0))
     R = ecef_to_enu_rotation(jnp.float64(lat0), jnp.float64(lon0))
     v_ecef = jnp.matmul(R.T, jnp.asarray([args.speed, 0.4, 0.0], jnp.float64))
@@ -113,15 +130,60 @@ def main(argv=None):
 
     prn = jnp.tile(jnp.arange(1, S + 1, dtype=jnp.int32)[None], (args.epochs, 1))
     cfg = pipeline.EpochConfig(apply_iono_correction=False)
-    run = jax.jit(lambda *a: pipeline.run_epochs(*a, config=cfg))
-    sols = run(store, iono, jnp.asarray(tows, jnp.float64), prn,
-               jnp.asarray(np.stack(prs)), jnp.asarray(np.stack(rrs)),
-               jnp.asarray(np.stack(cn0s), jnp.float64),
-               jnp.asarray(np.stack(valids)), ref)
+    log_args = (store, iono, jnp.asarray(tows, jnp.float64), prn,
+                jnp.asarray(np.stack(prs)), jnp.asarray(np.stack(rrs)),
+                jnp.asarray(np.stack(cn0s), jnp.float64),
+                jnp.asarray(np.stack(valids)), ref)
 
-    est = np.asarray(sols.position.state)
-    enu = np.asarray(sols.enu)
-    lla = np.asarray(sols.lla)
+    if args.device == "tpu":
+        from toyslam_tpu.gnss import local
+
+        ep = local.prep_epochs(*log_args, config=cfg)  # f64 host prep
+        host.__exit__(None, None, None)
+        ep = jax.device_put(ep, jax.devices()[0])  # f32 leaves -> chip
+        solve = jax.jit(local.solve_epochs_local, static_argnums=1)
+        import time
+
+        sol = jax.block_until_ready(solve(ep, cfg))
+        t0 = time.perf_counter()
+        sol = jax.block_until_ready(solve(ep, cfg))
+        eps_s = args.epochs / (time.perf_counter() - t0)
+        print(f"on-chip solve ({jax.default_backend()}): "
+              f"{eps_s:.0f} epochs/s f32")
+        est_xyz = np.asarray(ref)[None] + np.asarray(sol.delta, np.float64)
+        est = np.concatenate(
+            [est_xyz, np.asarray(sol.clock_bias, np.float64)[:, None]], 1)
+        enu = np.asarray(sol.enu, np.float64)
+        lla = np.stack([np.asarray(ecef_to_lla(jnp.asarray(p)))
+                        for p in est_xyz])
+        num_sats = np.asarray(sol.num_sats)
+        pdop, hdop = np.asarray(sol.pdop), np.asarray(sol.hdop)
+        vdop, tdop = np.asarray(sol.vdop), np.asarray(sol.tdop)
+        rec_prn, rec_el = np.asarray(ep.prn), np.asarray(ep.elevation)
+        rec_az, rec_cn0 = np.asarray(ep.azimuth), np.asarray(ep.cn0)
+        rec_used = np.asarray(ep.valid)
+        vel_enu = np.asarray(sol.vel_enu, np.float64)
+        vel_valid = np.asarray(sol.vel_valid)
+    else:
+        run = jax.jit(lambda *a: pipeline.run_epochs(*a, config=cfg))
+        sols = run(*log_args)
+        host.__exit__(None, None, None)
+        est = np.asarray(sols.position.state)
+        enu = np.asarray(sols.enu)
+        lla = np.asarray(sols.lla)
+        num_sats = np.asarray(sols.position.num_sats)
+        pdop, hdop = (np.asarray(sols.position.pdop),
+                      np.asarray(sols.position.hdop))
+        vdop, tdop = (np.asarray(sols.position.vdop),
+                      np.asarray(sols.position.tdop))
+        rec_prn = np.asarray(sols.record.prn)
+        rec_el = np.asarray(sols.record.elevation)
+        rec_az = np.asarray(sols.record.azimuth)
+        rec_cn0 = np.asarray(sols.record.cn0)
+        rec_used = np.asarray(sols.record.used)
+        vel_enu = np.asarray(sols.velocity.vel_enu)
+        vel_valid = np.asarray(sols.velocity.valid)
+
     gt_enu = np.einsum("ij,ej->ei", np.asarray(R), gt - np.asarray(ref))
 
     # ---- gnss_position.csv: the reference's column set (:1086-1108) ----
@@ -137,46 +199,38 @@ def main(argv=None):
                 f"{lla[e, 2]:.4f},"
                 f"{est[e, 0]:.4f},{est[e, 1]:.4f},{est[e, 2]:.4f},"
                 f"{enu[e, 0]:.4f},{enu[e, 1]:.4f},{enu[e, 2]:.4f},"
-                f"{est[e, 3]:.4f},{int(np.asarray(sols.position.num_sats)[e])},"
-                f"{np.asarray(sols.position.pdop)[e]:.3f},"
-                f"{np.asarray(sols.position.hdop)[e]:.3f},"
-                f"{np.asarray(sols.position.vdop)[e]:.3f},"
-                f"{np.asarray(sols.position.tdop)[e]:.3f}\n")
+                f"{est[e, 3]:.4f},{int(num_sats[e])},"
+                f"{pdop[e]:.3f},{hdop[e]:.3f},{vdop[e]:.3f},{tdop[e]:.3f}\n")
 
     # ---- skyplot.jsonl: per-epoch per-satellite stream ----
-    rec = sols.record
     with open(out / "skyplot.jsonl", "w") as f:
         for e in range(args.epochs):
             f.write(json.dumps({
                 "tow": float(tows[e]),
-                "pdop": float(np.asarray(sols.position.pdop)[e]),
-                "hdop": float(np.asarray(sols.position.hdop)[e]),
+                "pdop": float(pdop[e]),
+                "hdop": float(hdop[e]),
                 "sats": [
-                    {"prn": int(np.asarray(rec.prn)[e, s]),
-                     "el_deg": round(float(np.rad2deg(
-                         np.asarray(rec.elevation)[e, s])), 2),
-                     "az_deg": round(float(np.rad2deg(
-                         np.asarray(rec.azimuth)[e, s])), 2),
-                     "cn0": round(float(np.asarray(rec.cn0)[e, s]), 1),
-                     "used": bool(np.asarray(rec.used)[e, s])}
+                    {"prn": int(rec_prn[e, s]),
+                     "el_deg": round(float(np.rad2deg(rec_el[e, s])), 2),
+                     "az_deg": round(float(np.rad2deg(rec_az[e, s])), 2),
+                     "cn0": round(float(rec_cn0[e, s]), 1),
+                     "used": bool(rec_used[e, s])}
                     for s in range(S)
                 ]}) + "\n")
 
     # ---- EvaPos-compatible ENU solution ----
     T = np.tile(np.eye(4), (args.epochs, 1, 1))
     T[:, :3, 3] = enu
-    traj = evalio.from_transforms(np.asarray(tows), T,
-                                  vel=np.asarray(sols.velocity.vel_enu))
+    traj = evalio.from_transforms(np.asarray(tows), T, vel=vel_enu)
     evalio.write_evapos_csv(out / "solution.csv", traj)
 
     err = np.linalg.norm(enu - gt_enu, axis=1)
     ate = float(np.sqrt(np.mean(err ** 2)))
-    n_used = np.asarray(sols.position.num_sats)
-    print(f"epochs: {args.epochs}, used sats (median): {int(np.median(n_used))}")
+    print(f"epochs: {args.epochs}, used sats (median): "
+          f"{int(np.median(num_sats))}")
     print(f"ENU ATE vs ground truth: {ate:.3f} m "
           f"(pseudorange noise {args.noise} m)")
-    print(f"velocity valid: {int(np.asarray(sols.velocity.valid).sum())}"
-          f"/{args.epochs}")
+    print(f"velocity valid: {int(vel_valid.sum())}/{args.epochs}")
     print(f"wrote {out}/gnss_position.csv, skyplot.jsonl, solution.csv")
     return 0
 

@@ -1,22 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark driver: NDT registration throughput.
+"""Benchmark driver: the framework's headline numbers, ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-Measurement note: the execution runtime in this environment was observed to
-elide repeated dispatches with identical (or converged-identical) inputs, so
+Measurement note: the execution runtime in this environment elides repeated
+dispatches aggressively — round-3 measurements showed it returning stale
+results in ~0.1 ms even when small input buffers (scalars, 100-float
+vectors) carry NEW values; only dispatches whose LARGE array operands are
+freshly uploaded device buffers with changed contents reliably execute. So
 every number here comes from a SINGLE device dispatch that performs all
-repetitions internally in a ``lax.scan`` — nothing host-visible repeats.
+repetitions internally in a ``lax.scan``, and every timed run receives its
+large inputs as a fresh ``jax.device_put`` of host-jittered numpy (upload
+happens outside the timed region), with two warm runs and elided-run
+rejection (< 30% of max) before taking the min.
 
 Primary metric: amortized single-pair NDT align at the align.cpp
 configuration (0.1 m downsample, resolution 1.0, DIRECT7) — the config with
 a published reference number: pclomp DIRECT7 @ 8 CPU threads, 34.33 ms
 amortized (``ndt_omp/README.md:38-41``, ~29.1 scans/s).
 
-Also reported: sequential odometry throughput at the reference's
-rosbag-pipeline configuration (0.3 m scan leaf, warm start), one lax.scan
-over a 32-scan stack.
+Also reported (all honest-recipe):
+- sequential odometry at the rosbag config (0.3 m leaf, warm start);
+- 256k-point odometry, BOTH the shipped turbo default and the
+  exact-reference-control-flow config (BASELINE demands >=100 scans/s AND
+  <=1e-3 m ATE; the exact config is the one the golden-parity tests pin);
+- 64-way batched NDT odometry + ESKF fusion (BASELINE config 5);
+- flagship sliding-window smoother (window 20, f32) keyframes/s;
+- LOAM feature odometry scans/s;
+- GICP ms/align on the sample pair;
+- GNSS local-frame f32 epoch solve epochs/s (gnss/local.py).
 """
 
 import json
@@ -26,24 +36,75 @@ import time
 import numpy as np
 
 
-def main():
+def _jit_with_probe(fn, probe=0):
+    """jit ``fn`` so the dispatch ALSO returns a checksum of input
+    ``probe``'s first array leaf, computed INSIDE the program. An elided
+    dispatch hands back the previous run's outputs — including this
+    checksum — so staleness is detectable; and because the value depends
+    on the fresh input, fetching it to host provably waits for this run's
+    execution."""
     import jax
     import jax.numpy as jnp
 
-    from toyslam_tpu.core import pcd_io, pointcloud
-    from toyslam_tpu.pipelines import odometry as odo
-    from toyslam_tpu.registration import ndt
+    def wrapped(*a):
+        out = fn(*a)
+        chk = sum(
+            jnp.sum(leaf.reshape(-1)[:8192].astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(a[probe]))
+        return out, chk
 
-    target_np = pcd_io.read_pcd("/root/reference/ndt_omp/data/251370668.pcd")
-    source_np = pcd_io.read_pcd("/root/reference/ndt_omp/data/251371071.pcd")
-    cap = 70000
+    return jax.jit(wrapped)
 
-    # ---- Primary: align.cpp config, 24 aligns inside one lax.scan ----
-    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
-    # 0.1 m-leaf downsamples of the sample pair hold ~15.8/16.0k points;
-    # capacities sized to the data (dead lanes cost linearly).
-    t_ds = ds(pointcloud.from_numpy(target_np, capacity=cap), 0.1, 16384)
-    s_ds = ds(pointcloud.from_numpy(source_np, capacity=cap), 0.1, 16384)
+
+def _timed(run, make_args, reps_inside=1):
+    """Two warm runs + 3 verified timed runs; returns (best_sec, last_out).
+
+    ``run`` must come from ``_jit_with_probe`` (returns (out, checksum)).
+    ``make_args(r)`` MUST return freshly ``device_put`` large-array
+    operands with r-dependent contents (uploads happen here, outside the
+    timed region). A timed run only counts if its checksum differs from
+    the previous run's — the runtime in this environment was observed
+    (r3) to elide dispatches and hand back stale buffers in ~0.1 ms even
+    for changed inputs; the timing window closes on the host fetch of the
+    checksum, which cannot complete before this run's real execution.
+    """
+    import jax
+
+    r_next = 0
+
+    def call(timed):
+        nonlocal r_next
+        a = make_args(r_next)
+        r_next += 1
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        out, chk = run(*a)
+        chk_v = float(chk)  # closes the timing window
+        dt = time.perf_counter() - t0
+        return out, chk_v, dt
+
+    _, last_chk, _ = call(False)
+    _, c, _ = call(False)
+    if c != last_chk:
+        last_chk = c
+    times, out = [], None
+    for _attempt in range(12):
+        out, c, dt = call(True)
+        if c == last_chk:  # stale output: the dispatch was elided
+            continue
+        last_chk = c
+        times.append(dt)
+        if len(times) == 3:
+            break
+    if len(times) < 3:
+        raise RuntimeError(
+            "dispatch elision defeated the measurement (stale checksums)")
+    jax.block_until_ready(out)
+    best = min(t for t in times if t > 0.3 * max(times))
+    return best / reps_inside, out
+
+
+def bench_align(jax, jnp, t_ds, s_ds, ndt):
     acfg = ndt.NDTConfig(resolution=1.0, map_capacity=8192)
     REPS = 24
 
@@ -62,28 +123,27 @@ def main():
             one, jnp.zeros(6, jnp.float32), jnp.arange(REPS))
         return total, conv, poses
 
-    run_aligns = jax.jit(many_aligns)
-    eps = jax.device_put(np.linspace(0, 1e-4, REPS).astype(np.float32))
-    out = run_aligns(t_ds, s_ds, eps)
-    jax.block_until_ready(out)
-    assert bool(np.asarray(out[1]).all()), "align did not converge"
-    # Steady state needs >= 2 warm runs (the first timed run after a single
-    # warmup measured ~5x inflated); distinct small inputs per run prevent
-    # the runtime's repeated-dispatch elision. Report the min of 3.
-    jax.block_until_ready(run_aligns(t_ds, s_ds, eps + np.float32(1e-4)))
-    times = []
-    for r in range(3):
-        shift = np.float32(2e-4 + r * 1e-4)
-        t0 = time.perf_counter()
-        out = run_aligns(t_ds, s_ds, eps + shift)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / REPS * 1e3)
-    # drop outright-elided runs (stale buffers in ~0 ms) before the min
-    ms_align = min(t for t in times if t > 0.3 * max(times))
-    align_sps = 1000.0 / ms_align
+    run = _jit_with_probe(many_aligns, probe=1)
+    eps = np.linspace(0, 1e-4, REPS).astype(np.float32)
+    s_np = np.asarray(s_ds.xyzi)
 
-    # ---- Secondary: sequential odometry (rosbag config), one dispatch ----
-    S = 32
+    # Elision hardening: a fresh host-jittered UPLOAD of the source cloud
+    # per run (r mm shifts — unelidable, converged pose unchanged far
+    # below the 1 m resolution; see module docstring).
+    def args(r):
+        from toyslam_tpu.core.pointcloud import PointCloud
+
+        s_jit = PointCloud(
+            jax.device_put(jnp.asarray(s_np + np.float32(1e-3 * r))),
+            s_ds.mask)
+        return (t_ds, s_jit, jax.device_put(eps + np.float32(1e-4 * r)))
+
+    sec, out = _timed(run, args, reps_inside=REPS)
+    assert bool(np.asarray(out[1]).all()), "align did not converge"
+    return sec * 1e3  # ms per align
+
+
+def _scan_stack(target_np, source_np, S, cap):
     xyzi = np.full((S, cap, 4), 1.0e9, np.float32)
     xyzi[..., 3] = 0.0
     mask = np.zeros((S, cap), bool)
@@ -92,27 +152,13 @@ def main():
         n = len(src)
         xyzi[i, :n] = src
         mask[i, :n] = True
-    scans = jax.device_put(jnp.asarray(xyzi))
-    masks = jax.device_put(jnp.asarray(mask))
-    cfg = odo.OdometryConfig()
-    run = jax.jit(lambda s_, m_, d: odo.ndt_odometry(s_ + d, m_, cfg))
-    jax.block_until_ready(run(scans, masks, jnp.float32(0.0)))
-    jax.block_until_ready(run(scans, masks, jnp.float32(1e-5)))
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        outo = run(scans, masks, jnp.float32(2e-5 + r * 1e-5))
-        jax.block_until_ready(outo)
-        times.append(time.perf_counter() - t0)
-    odo_sps = (S - 1) / min(t for t in times if t > 0.3 * max(times))
+    return xyzi, mask
 
-    # ---- Tertiary: 256k-point scans (driver target scale), one dispatch.
-    # SYNTHETIC input: the UrbanNav bag is absent, so each 262144-pt scan
-    # is four jittered, spatially shifted copies of the 69k sample cloud
-    # with realistic scan-to-scan motion (0.3 m/scan). S2=32 scans inside
-    # one lax.scan amortize the per-dispatch relay overhead the way a real
-    # bag replay would. ----
-    S2 = 32
+
+def _big_scans(target_np, S2=32):
+    """SYNTHETIC 262144-pt scans: the UrbanNav bag is absent, so each scan
+    is four jittered, spatially shifted copies of the 69k sample cloud with
+    realistic scan-to-scan motion (0.3 m/scan)."""
     rng = np.random.default_rng(0)
     copies = []
     for i in range(4):
@@ -125,21 +171,269 @@ def main():
     for k in range(S2):
         big_scans[k, :, 0] -= 0.3 * k
         big_scans[k, :, 1] -= 0.1 * k
-    big_scans = jax.device_put(jnp.asarray(big_scans))
+    return big_scans
+
+
+def bench_odometry(jax, jnp, odo, scans_np, masks, cfg, S):
+    """scans_np: HOST numpy stack; each timed run uploads a fresh r mm
+    jittered copy (see module docstring — device-side `+ d` is elided)."""
+    run = _jit_with_probe(lambda s_, m_: odo.ndt_odometry(s_, m_, cfg))
+    sec, out = _timed(
+        run,
+        lambda r: (jax.device_put(
+            jnp.asarray(scans_np + np.float32(1e-3 * r))), masks))
+    assert bool(np.asarray(out.converged)[1:].all()), "odometry diverged"
+    return (S - 1) / sec  # scans per second
+
+
+def bench_batch64_fusion(jax, jnp, target_np):
+    """BASELINE config 5: 64 independent sequences x (NDT odometry + ESKF
+    fusion), sequence-level batching on the single chip (vmap; the same
+    program shards over a mesh via parallel.batch.sharded_fusion)."""
+    from toyslam_tpu.pipelines import fusion as fus
+    from toyslam_tpu.pipelines import odometry as odo
+    from toyslam_tpu.registration import ndt
+
+    B, S, R = 64, 4, 20
+    cap = 16384
+    rng = np.random.default_rng(1)
+    base = target_np[
+        rng.choice(len(target_np), cap, replace=False)].astype(np.float32)
+    xyzi = np.zeros((B, S, cap, 4), np.float32)
+    for b in range(B):
+        for s in range(S):
+            jit_pts = base.copy()
+            jit_pts[:, 0] += 0.3 * s + 0.01 * b
+            jit_pts[:, 1] += 0.1 * s
+            xyzi[b, s] = jit_pts
+    mask = np.ones((B, S, cap), bool)
+    imu_acc = np.tile(np.asarray([0.0, 0.0, 9.81], np.float32),
+                      (B, S * R, 1))
+    imu_gyro = np.zeros((B, S * R, 3), np.float32)
+    imu_dt = np.full((B, S * R), 0.005, np.float32)
+
+    cfg = fus.FusionConfig(
+        odometry=odo.OdometryConfig(work_capacity=8192),
+        imu_per_scan=R)
+    batched = jax.vmap(lambda *a: fus.ndt_eskf_fusion(*a, config=cfg))
+    run = _jit_with_probe(batched)
+    rest = tuple(map(jax.device_put, (jnp.asarray(mask),
+                                      jnp.asarray(imu_acc),
+                                      jnp.asarray(imu_gyro),
+                                      jnp.asarray(imu_dt))))
+    sec, out = _timed(
+        run,
+        lambda r: (jax.device_put(
+            jnp.asarray(xyzi + np.float32(1e-3 * r))),) + rest)
+    assert bool(np.isfinite(np.asarray(out.fused_p)).all())
+    return B * (S - 1) / sec  # aggregate scans/s across the fleet
+
+
+def bench_smoother(jax, jnp):
+    """Flagship sliding-window smoother (window 20 — the reference default,
+    ``uwb_imu_batch_node.cpp:3229``) in f32, keyframes/s."""
+    from toyslam_tpu.pipelines import batch_fusion as bf
+
+    M, R = 32, 20
+    rng = np.random.default_rng(2)
+    t = np.arange(M) * 0.1
+    meas_p = np.stack([np.cos(t), np.sin(t), 0 * t], 1).astype(np.float32) \
+        + rng.normal(0, 0.05, (M, 3)).astype(np.float32)
+    imu_acc = np.tile(np.asarray([0.0, 0.0, 9.81], np.float32), (M, R, 1)) \
+        + rng.normal(0, 0.02, (M, R, 3)).astype(np.float32)
+    imu_gyro = rng.normal(0, 0.01, (M, R, 3)).astype(np.float32)
+    imu_dt = np.full((M, R), 0.005, np.float32)
+    imu_valid = np.ones((M, R), bool)
+
+    cfg = bf.BatchFusionConfig()  # window 20 default
+    run = _jit_with_probe(lambda a, g, dt, v, mt, mp, ok: bf.batch_fusion(
+        a, g, dt, v, mt, mp, ok, config=cfg))
+    rest = (jnp.asarray(imu_gyro), jnp.asarray(imu_dt),
+            jnp.asarray(imu_valid), jnp.asarray(t, jnp.float32),
+            jnp.asarray(meas_p), jnp.ones((M,), bool))
+    sec, out = _timed(
+        run,
+        lambda r: (jax.device_put(
+            jnp.asarray(imu_acc + np.float32(1e-4 * r))),) + rest)
+    assert bool(np.isfinite(np.asarray(out.kf_p)).all())
+    return M / sec  # keyframes per second
+
+
+def bench_loam(jax, jnp):
+    """LOAM ("TASLO") feature odometry on the synthetic HDL-style drive."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from test_loam import _synthetic_lidar_scan
+
+    from toyslam_tpu.core import se3
+    from toyslam_tpu.pipelines import loam
+
+    rng = np.random.default_rng(3)
+    S = 8
+    T = np.eye(4)
+    scans = []
+    for i in range(S):
+        scans.append(_synthetic_lidar_scan(rng, T))
+        step = np.asarray(se3.pose6_to_matrix(
+            jnp.asarray([0.35, 0.05, 0.0, 0.0, 0.0, 0.05], jnp.float64)))
+        T = T @ step
+    cap = max(len(s) for s in scans) + 64
+    xyzi = np.full((S, cap, 4), 1e9, np.float32)
+    mask = np.zeros((S, cap), bool)
+    for i, s in enumerate(scans):
+        xyzi[i, :len(s), :3] = s
+        xyzi[i, :len(s), 3] = 0
+        mask[i, :len(s)] = True
+
+    cfg = loam.LoamConfig(n_rings=16, vertical_fov_deg=(-25.0, 5.0))
+    run = _jit_with_probe(lambda x, m: loam.loam_odometry(x, m, cfg))
+    mask_d = jax.device_put(jnp.asarray(mask))
+    sec, out = _timed(
+        run,
+        lambda r: (jax.device_put(
+            jnp.asarray(xyzi + np.float32(1e-3 * r))), mask_d))
+    assert bool(np.isfinite(np.asarray(out.positions)).all())
+    return (S - 1) / sec
+
+
+def bench_gicp(jax, jnp, t_ds, s_ds):
+    from toyslam_tpu.registration import gicp
+
+    from toyslam_tpu.core.pointcloud import PointCloud
+
+    cfg = gicp.GICPConfig()
+    run = _jit_with_probe(lambda s, t, g: gicp.gicp_align(s, t, g, cfg))
+    eye = jnp.eye(4, dtype=jnp.float32)
+    s_np = np.asarray(s_ds.xyzi)
+
+    def args(r):
+        s_jit = PointCloud(
+            jax.device_put(jnp.asarray(s_np + np.float32(1e-3 * r))),
+            s_ds.mask)
+        return (s_jit, t_ds, eye.at[0, 3].add(1e-4 * r))
+
+    sec, out = _timed(run, args)
+    assert bool(np.isfinite(np.asarray(out.transform)).all())
+    return sec * 1e3  # ms per align
+
+
+def bench_gnss(jax, jnp):
+    """GNSS local-frame f32 epoch solve (gnss/local.py) on-chip: f64 host
+    prep linearizes about the anchor, then E epochs solve in one scan."""
+    jax.config.update("jax_enable_x64", True)
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        from toyslam_tpu.core.geodesy import (
+            EARTH_ROTATION_RATE, SPEED_OF_LIGHT, ecef_to_enu_rotation,
+            lla_to_ecef)
+        from toyslam_tpu.gnss import atmosphere, local, pipeline
+        from toyslam_tpu.gnss.ephemeris import sat_pos_vel_clock
+
+        E, S = 256, 24
+        rng = np.random.default_rng(4)
+        lat0, lon0 = np.deg2rad(22.3), np.deg2rad(114.17)
+        ref = lla_to_ecef(jnp.float64(lat0), jnp.float64(lon0),
+                          jnp.float64(50.0))
+        R = ecef_to_enu_rotation(jnp.float64(lat0), jnp.float64(lon0))
+        v_ecef = jnp.matmul(R.T, jnp.asarray([1.5, 0.4, 0.0], jnp.float64))
+        eph = pipeline.synthetic_constellation(S, toe=1000.0)
+        store = pipeline.store_init()
+        for k in range(S):
+            store = store.update(
+                jax.tree_util.tree_map(lambda x: x[k], eph))
+        iono = atmosphere.IonoParams(alpha=jnp.zeros(4, jnp.float64),
+                                     beta=jnp.zeros(4, jnp.float64))
+        tows = 1000.0 + jnp.arange(E, dtype=jnp.float64)
+        pos = ref[None, :] + v_ecef[None, :] * jnp.arange(
+            E, dtype=jnp.float64)[:, None]
+        sat = sat_pos_vel_clock(eph, jnp.broadcast_to(tows[:, None], (E, S)))
+        r0 = jnp.linalg.norm(sat["pos"] - pos[:, None, :], axis=-1)
+        for _ in range(2):
+            sat = sat_pos_vel_clock(eph, tows[:, None] - r0 / SPEED_OF_LIGHT)
+            r0 = jnp.linalg.norm(sat["pos"] - pos[:, None, :], axis=-1)
+        el = jnp.arcsin(jnp.clip(jnp.einsum(
+            "ij,esj->esi", R, sat["pos"] - pos[:, None, :]
+        )[..., 2] / r0, -1, 1))
+        w_c = EARTH_ROTATION_RATE / SPEED_OF_LIGHT
+        sagnac = -w_c * (pos[:, None, 0] * sat["pos"][..., 1]
+                         - pos[:, None, 1] * sat["pos"][..., 0])
+        pr = (r0 + 42.0 + sagnac - sat["clock_bias"] * SPEED_OF_LIGHT
+              - eph.tgd * SPEED_OF_LIGHT
+              + 2.3 / jnp.maximum(jnp.sin(jnp.abs(el)), 0.1)
+              + jnp.asarray(rng.normal(0, 1.5, (E, S))))
+        los = (sat["pos"] - pos[:, None, :]) / r0[..., None]
+        sag_rate = w_c * (sat["vel"][..., 0] * pos[:, None, 1]
+                          - sat["vel"][..., 1] * pos[:, None, 0])
+        rr = (jnp.sum(los * (v_ecef - sat["vel"]), -1) - sag_rate
+              + sat["clock_drift"] * SPEED_OF_LIGHT
+              + jnp.asarray(rng.normal(0, 0.05, (E, S))))
+        prn = jnp.tile(jnp.arange(1, S + 1, dtype=jnp.int32)[None], (E, 1))
+        cn0 = jnp.full((E, S), 45.0)
+        cfg = pipeline.EpochConfig(apply_iono_correction=False)
+        ep = local.prep_epochs(store, iono, tows, prn, pr, rr, cn0,
+                               el > 0, ref, config=cfg)
+    ep_host = jax.tree_util.tree_map(np.asarray, ep)
+    solve = _jit_with_probe(lambda e_: local.solve_epochs_local(e_, cfg))
+
+    def args(r):
+        fresh = ep_host._replace(
+            y=ep_host.y + np.float32(1e-4 * r))
+        return (jax.device_put(fresh, jax.devices()[0]),)
+
+    sec, sol = _timed(solve, args)
+    assert bool(np.asarray(sol.valid).all())
+    return E / sec
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from toyslam_tpu.core import pcd_io, pointcloud
+    from toyslam_tpu.pipelines import odometry as odo
+    from toyslam_tpu.registration import ndt
+
+    target_np = pcd_io.read_pcd("/root/reference/ndt_omp/data/251370668.pcd")
+    source_np = pcd_io.read_pcd("/root/reference/ndt_omp/data/251371071.pcd")
+    cap = 70000
+
+    # ---- Primary: align.cpp config, 24 aligns inside one lax.scan ----
+    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
+    t_ds = ds(pointcloud.from_numpy(target_np, capacity=cap), 0.1, 16384)
+    s_ds = ds(pointcloud.from_numpy(source_np, capacity=cap), 0.1, 16384)
+    ms_align = bench_align(jax, jnp, t_ds, s_ds, ndt)
+    align_sps = 1000.0 / ms_align
+
+    # ---- Sequential odometry (rosbag config), one dispatch ----
+    S = 32
+    xyzi, mask = _scan_stack(target_np, source_np, S, cap)
+    masks = jax.device_put(jnp.asarray(mask))
+    odo_sps = bench_odometry(jax, jnp, odo, xyzi, masks,
+                             odo.OdometryConfig(), S)
+
+    # ---- 256k-point scans (driver target scale), turbo default AND the
+    # exact-reference-control-flow config the golden-parity tests pin ----
+    S2 = 32
+    big_np = _big_scans(target_np, S2)
     big_masks = jax.device_put(jnp.ones((S2, 262144), bool))
-    cfg256 = odo.OdometryConfig(work_capacity=24576)
-    run256 = jax.jit(
-        lambda s_, m_, d: odo.ndt_odometry(s_ + d, m_, cfg256))
-    jax.block_until_ready(run256(big_scans, big_masks, jnp.float32(0.0)))
-    jax.block_until_ready(run256(big_scans, big_masks, jnp.float32(1e-5)))
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        o256 = run256(big_scans, big_masks, jnp.float32(2e-5 + r * 1e-5))
-        jax.block_until_ready(o256)
-        times.append(time.perf_counter() - t0)
-    assert bool(np.asarray(o256.converged)[1:].all()), "256k odometry diverged"
-    sps256 = (S2 - 1) / min(t for t in times if t > 0.3 * max(times))
+    cfg_turbo = odo.OdometryConfig(work_capacity=24576)
+    sps256 = bench_odometry(jax, jnp, odo, big_np, big_masks,
+                            cfg_turbo, S2)
+    cfg_exact = odo.OdometryConfig(
+        work_capacity=24576, coarse_leaf=0.0,
+        ndt=cfg_turbo.ndt._replace(frozen_linesearch=False,
+                                   regather_iterations=1 << 30))
+    sps256_exact = bench_odometry(jax, jnp, odo, big_np, big_masks,
+                                  cfg_exact, S2)
+
+    # ---- Wider model surface ----
+    batch64_sps = bench_batch64_fusion(jax, jnp, target_np)
+    smoother_kfps = bench_smoother(jax, jnp)
+    loam_sps = bench_loam(jax, jnp)
+    gicp_ms = bench_gicp(jax, jnp, t_ds, s_ds)
+    gnss_eps = bench_gnss(jax, jnp)
 
     baseline_sps = 1000.0 / 34.33  # pclomp DIRECT7 8-thread amortized
 
@@ -152,6 +446,13 @@ def main():
         "ms_per_align": round(ms_align, 3),
         "odometry_scans_per_sec_03leaf": round(odo_sps, 2),
         "odometry_scans_per_sec_256kpt_synthetic": round(sps256, 2),
+        "odometry_exact_scans_per_sec_256kpt_synthetic":
+            round(sps256_exact, 2),
+        "batch64_scans_per_sec": round(batch64_sps, 2),
+        "smoother_keyframes_per_sec_w20_f32": round(smoother_kfps, 2),
+        "loam_scans_per_sec": round(loam_sps, 2),
+        "gicp_ms_per_align": round(gicp_ms, 3),
+        "gnss_epochs_per_sec_f32": round(gnss_eps, 2),
         "backend": jax.default_backend(),
     }))
     return 0

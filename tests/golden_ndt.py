@@ -291,27 +291,35 @@ def align(leaves, min_b, max_b, div, src, cfg_res=1.0, outlier_ratio=0.55,
     return pose_to_T(p), p, it, n_evals[0]
 
 
+def _nz(x):
+    """Tiny-denominator guard (the secant terms below hit g_l == g_t when a
+    trial lands exactly on the current endpoint; the jittable port guards
+    the same way with finfo.tiny)."""
+    return x if x != 0 else 1e-300
+
+
 def _trial(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
     def cubic(al, fl, gl, at, ft, gt):
-        z = 3 * (ft - fl) / (at - al) - gt - gl
+        z = 3 * (ft - fl) / _nz(at - al) - gt - gl
         w = math.sqrt(max(z * z - gt * gl, 0.0))
-        return al + (at - al) * (w - gl - z) / (gt - gl + 2 * w)
+        return al + (at - al) * (w - gl - z) / _nz(gt - gl + 2 * w)
 
     if f_t > f_l:
         a_c = cubic(a_l, f_l, g_l, a_t, f_t, g_t)
-        a_q = a_l - 0.5 * (a_l - a_t) * g_l / (g_l - (f_l - f_t) / (a_l - a_t))
+        a_q = a_l - 0.5 * (a_l - a_t) * g_l / _nz(
+            g_l - (f_l - f_t) / _nz(a_l - a_t))
         if abs(a_c - a_l) < abs(a_q - a_l):
             return a_c
         return 0.5 * (a_q + a_c)
     if g_t * g_l < 0:
         a_c = cubic(a_l, f_l, g_l, a_t, f_t, g_t)
-        a_s = a_l - (a_l - a_t) / (g_l - g_t) * g_l
+        a_s = a_l - (a_l - a_t) / _nz(g_l - g_t) * g_l
         if abs(a_c - a_t) >= abs(a_s - a_t):
             return a_c
         return a_s
     if abs(g_t) <= abs(g_l):
         a_c = cubic(a_l, f_l, g_l, a_t, f_t, g_t)
-        a_s = a_l - (a_l - a_t) / (g_l - g_t) * g_l
+        a_s = a_l - (a_l - a_t) / _nz(g_l - g_t) * g_l
         a_n = a_c if abs(a_c - a_t) < abs(a_s - a_t) else a_s
         if a_t > a_l:
             return min(a_t + 0.66 * (a_u - a_t), a_n)

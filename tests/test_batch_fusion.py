@@ -174,6 +174,36 @@ def test_batch_fusion_f32_stays_finite_on_marginal_config():
         assert err.max() < 1.0, (seed, err)
 
 
+def test_mean_acc_masked_mean_ignores_interior_gaps():
+    """Advisor r2: the default gravity-alignment acceleration must be a
+    masked MEAN of the chunk's valid samples (reference averages,
+    ``uwb_imu_batch_node.cpp:296-334``) and must ignore interior mask
+    holes — garbage in padded lanes of a gappy chunk must not reach the
+    factor."""
+    (imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p, meas_v,
+     meas_q, gt_p, gt_v) = _make_log(n_kf=6, imu_per_kf=20, seed=6)
+    M = meas_p.shape[0]
+    # Interior hole in chunk 3 with poisoned samples inside the hole
+    imu_valid = imu_valid.at[3, 5:12].set(False)
+    imu_acc = imu_acc.at[3, 5:12].set(1e9)
+    cfg = batch_fusion.BatchFusionConfig(
+        window=window.WindowConfig(
+            window_size=6, gn_iterations=4, use_gps=True,
+            gps_pos_sigma=0.15, gps_pos_z_sigma_factor=1.0,
+            enable_gravity_alignment=True, gravity_alignment_weight=1.0,
+            simplified_first_n=2))
+    out = batch_fusion.batch_fusion(
+        imu_acc, imu_gyro, imu_dt, imu_valid, meas_t, meas_p,
+        jnp.ones((M,), bool), meas_v=meas_v,
+        meas_v_valid=jnp.ones((M,), bool), config=cfg)
+    p = np.asarray(out.kf_p)
+    assert np.isfinite(p).all()
+    # 1e9-scale garbage reaching the gravity factor would blow the
+    # estimate far off the fixes; the masked mean keeps it at fix level.
+    err = np.linalg.norm(p - np.asarray(gt_p), axis=1)
+    assert err.max() < 1.0, err
+
+
 def test_batch_fusion_checkpoint_resume_bit_identical():
     """The streaming smoother's carry is a plain pytree: snapshotting the
     window mid-log and resuming must reproduce the straight-through run

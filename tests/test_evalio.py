@@ -89,3 +89,20 @@ def test_from_transforms_velocity_irregular_timestamps():
     traj = evalio.from_transforms(t, T)
     np.testing.assert_allclose(traj.vel, np.tile(v_true, (len(t), 1)),
                                atol=1e-9)
+
+
+def test_from_transforms_velocity_duplicate_timestamps():
+    """Regression (advisor r2): exactly duplicated timestamps (common in
+    real logs) must not explode velocities — the effective dt is clamped
+    to >= 1 ns, so velocities stay bounded by |dp| / 1e-9, and identical
+    consecutive poses at a duplicated stamp give ~zero velocity."""
+    t = np.array([0.0, 0.1, 0.1, 0.2, 0.2, 0.3])
+    pos = np.array([[0.0, 0, 0], [0.1, 0, 0], [0.1, 0, 0],
+                    [0.2, 0, 0], [0.2, 0, 0], [0.3, 0, 0]])
+    T = np.tile(np.eye(4), (len(t), 1, 1))
+    T[:, :3, 3] = pos
+    traj = evalio.from_transforms(t, T)
+    assert np.isfinite(traj.vel).all()
+    # duplicated stamps carry identical poses -> velocity stays ~1 m/s
+    # scale, nowhere near the 1e12-scale garbage the old jitter produced
+    assert np.abs(traj.vel).max() < 10.0, traj.vel

@@ -30,11 +30,13 @@ def test_blockage_classification():
 
 
 def test_multipath_reflection_geometry():
-    # Receiver between two walls; satellite low to the north is blocked by
-    # the north building but reflects off the south building's north face.
+    # Receiver behind a LOW north podium (blocks the street-level direct
+    # ray at z~3-5 but not the higher reflected ray at z~7-9); the
+    # satellite low to the north reflects off the south building's north
+    # face, and BOTH bounce segments are clear.
     city = urban.Buildings(
         min_xyz=jnp.asarray([[-20.0, 10.0, 0.0], [-20.0, -20.0, 0.0]]),
-        max_xyz=jnp.asarray([[20.0, 20.0, 40.0], [20.0, -10.0, 40.0]]),
+        max_xyz=jnp.asarray([[20.0, 20.0, 6.0], [20.0, -10.0, 40.0]]),
         attenuation_db=jnp.asarray([30.0, 30.0]),
         reflectivity=jnp.asarray([0.6, 0.6]),
     )
@@ -47,6 +49,48 @@ def test_multipath_reflection_geometry():
     assert float(budget.pseudorange_error[0]) > 0.5  # extra path length
     # NLOS C/N0 must be lower than LOS would be
     assert float(budget.cn0[0]) < 45.0
+
+
+def test_reflection_blocked_by_third_building_rejected():
+    """VERDICT r2 missing #3: a geometric mirror hit whose bounce path
+    passes through another building is NOT usable multipath — the
+    reference validates both segments via ``checkSignalBlockage``
+    (``RangingRC.cpp:1696-1717,1744-1863``)."""
+    # Same geometry as test_multipath_reflection_geometry (reflection
+    # valid)...
+    base = dict(
+        min_xyz=[[-20.0, 10.0, 0.0], [-20.0, -20.0, 0.0]],
+        max_xyz=[[20.0, 20.0, 6.0], [20.0, -10.0, 40.0]],
+    )
+    receiver = jnp.asarray([0.0, 0.0, 1.5])
+    sat = jnp.asarray([[0.0, 5000.0, 900.0]])
+    el = jnp.asarray([np.arctan2(900.0, 5000.0)])
+
+    # ... plus a slab between the receiver and the south reflector that
+    # blocks the DOWN bounce segment.
+    city_blocked = urban.Buildings(
+        min_xyz=jnp.asarray(base["min_xyz"] + [[-20.0, -6.0, 0.0]]),
+        max_xyz=jnp.asarray(base["max_xyz"] + [[20.0, -4.0, 40.0]]),
+        attenuation_db=jnp.asarray([30.0, 30.0, 30.0]),
+        reflectivity=jnp.asarray([0.6, 0.6, 0.6]),
+    )
+    b2 = urban.signal_budget(receiver, sat, el, city_blocked)
+    assert bool(b2.blocked[0])
+    assert not bool(b2.multipath[0]), \
+        "through-building 'reflection' must be rejected"
+
+    # And the TALL north wall (the pre-fix test geometry): the UP bounce
+    # segment to the south face passes through it at z~7-9 -> rejected.
+    city_tall = urban.Buildings(
+        min_xyz=jnp.asarray(base["min_xyz"]),
+        max_xyz=jnp.asarray([[20.0, 20.0, 40.0], [20.0, -10.0, 40.0]]),
+        attenuation_db=jnp.asarray([30.0, 30.0]),
+        reflectivity=jnp.asarray([0.6, 0.6]),
+    )
+    b3 = urban.signal_budget(receiver, sat, el, city_tall)
+    assert bool(b3.blocked[0])
+    assert not bool(b3.multipath[0]), \
+        "up-segment through the tall north wall must reject the bounce"
 
 
 def test_budget_and_noisy_ranges():
@@ -141,7 +185,11 @@ def test_canyon_drive_raim_flags_ray_traced_nlos():
 
     out = urb.simulate_urban_epochs(
         jax.random.PRNGKey(0), track, times, eph, city, ref_lla,
-        clock_bias_m=jnp.full((T,), 30.0, jnp.float64))
+        clock_bias_m=jnp.full((T,), 30.0, jnp.float64),
+        # RAIM below solves WITHOUT atmospheric corrections, so feed it
+        # clean geometric ranges — the NLOS extra path must be the only
+        # systematic error (the default iono/tropo budget has its own test)
+        apply_atmosphere=False)
 
     budget = out["budget"]
     usable = np.asarray(budget.usable)
@@ -207,3 +255,43 @@ def test_skyplot_records_classes():
             expect = ("multipath" if np.asarray(out["budget"].multipath)[e, s]
                       else "blocked" if b[e, s] else "los")
             assert recs[e]["sats"][s]["class"] == expect
+    # Per-epoch DOP rides the skyplot stream (``calculateDOP``), finite
+    # whenever >= 4 satellites are usable.
+    for e in range(T):
+        assert {"gdop", "pdop", "hdop", "vdop"} <= set(recs[e])
+        if int(np.asarray(out["budget"].usable)[e].sum()) >= 4:
+            assert np.isfinite(recs[e]["pdop"])
+            assert recs[e]["pdop"] >= recs[e]["hdop"]
+
+
+def test_urban_epochs_include_atmosphere_by_default():
+    """The reference's pseudorange budget includes iono + tropo
+    (``RangingRC.cpp:379-542``); ``simulate_urban_epochs`` must apply them
+    by default and expose them in the output."""
+    from toyslam_tpu.gnss import pipeline
+
+    city = _simple_city()
+    ref_lla = jnp.asarray([0.39, 1.99, 50.0], jnp.float64)
+    eph = pipeline.synthetic_constellation(8, toe=1000.0)
+    T = 2
+    track = jnp.tile(jnp.asarray([0.0, 0.0, 1.5], jnp.float64), (T, 1))
+    times = 1000.0 + jnp.arange(T, dtype=jnp.float64)
+    kw = dict(clock_bias_m=jnp.zeros(T, jnp.float64))
+    out_atm = urban.simulate_urban_epochs(
+        jax.random.PRNGKey(2), track, times, eph, city, ref_lla, **kw)
+    out_clean = urban.simulate_urban_epochs(
+        jax.random.PRNGKey(2), track, times, eph, city, ref_lla,
+        apply_atmosphere=False, **kw)
+    usable = np.asarray(out_atm["budget"].usable)
+    iono = np.asarray(out_atm["iono_m"])
+    tropo = np.asarray(out_atm["tropo_m"])
+    # tropo >= 2.3 m (zenith) always; iono > 0 from the Klobuchar floor
+    assert (tropo[usable] >= 2.3 - 1e-9).all()
+    assert (iono[usable] > 0.1).all()
+    assert np.allclose(np.asarray(out_clean["iono_m"]), 0.0)
+    # identical PRNG stream -> the pseudorange difference IS the
+    # atmospheric budget
+    d = (np.asarray(out_atm["pseudoranges"])
+         - np.asarray(out_clean["pseudoranges"]))
+    both = usable & np.asarray(out_clean["budget"].usable)
+    np.testing.assert_allclose(d[both], (iono + tropo)[both], rtol=1e-6)

@@ -34,6 +34,13 @@ def _run_smoother(n_kf=13, imu_per_kf=50, hz=200.0, seed=0,
                                                  gyro_noise=0.002)
     gw = jnp.asarray([0.0, 0.0, -9.81], dtype)
 
+    # jit once per config so the Python keyframe loop reuses the compiled
+    # push/optimize (un-jitted, every iteration would re-trace the jacfwd
+    # stack — prohibitive at the reference window size 20).
+    push_j = jax.jit(lambda w, g, t, m, pre, pdt: window.window_push(
+        w, g, t, m, jnp.asarray(True), pre, pdt, cfg))
+    opt_j = jax.jit(lambda w: window.window_optimize(w, cfg))
+
     est_p, gt_p, est_v = [], [], []
     # Orientation initialization: the reference seeds and pins attitude via
     # its prior/alignment factor family; here we emulate a well-initialized
@@ -53,11 +60,9 @@ def _run_smoother(n_kf=13, imu_per_kf=50, hz=200.0, seed=0,
         guess = NavState(
             p=meas[k], q=traj["quat"][hi - 1], v=jnp.zeros(3, dtype),
             ba=jnp.zeros(3, dtype), bg=jnp.zeros(3, dtype))
-        win = window.window_push(
-            win, guess, jnp.asarray(float(k), dtype), meas[k],
-            jnp.asarray(True), pre, jnp.asarray(imu_per_kf * dt, dtype),
-            cfg)
-        win = window.window_optimize(win, cfg)
+        win = push_j(win, guess, jnp.asarray(float(k), dtype), meas[k],
+                     pre, jnp.asarray(imu_per_kf * dt, dtype))
+        win = opt_j(win)
 
         newest = int(win.count) - 1
         est = jax.tree_util.tree_map(lambda x: x[newest], win.states)
@@ -144,3 +149,90 @@ def test_window_f32_matches_f64():
     dv = np.linalg.norm(v32 - v64, axis=1)
     assert np.median(dv) < 5e-2, dv
     assert dv[6:].max() < 0.15, dv
+
+
+@pytest.mark.slow
+def test_window_f32_matches_f64_at_reference_scale():
+    """The same f32-vs-f64 parity claim at the reference's default window
+    size K=20 (``uwb_imu_batch_node.cpp:3229-3235``, a 300-dim tangent —
+    f32 conditioning worsens with window size) and enough keyframes that
+    marginalization fires (VERDICT r2 weak #3)."""
+    cfg = window.WindowConfig(window_size=20, gn_iterations=5,
+                              pos_sigma=0.05)
+    p32, gt, v32, w32 = _run_smoother(n_kf=24, seed=7, cfg=cfg,
+                                      dtype=jnp.float32)
+    p64, _, v64, w64 = _run_smoother(n_kf=24, seed=7, cfg=cfg,
+                                     dtype=jnp.float64)
+    assert bool(w32.prior_valid) and bool(w64.prior_valid)
+    d = np.linalg.norm(p32 - p64, axis=1)
+    assert d.max() < 1e-2, d
+    dv = np.linalg.norm(v32 - v64, axis=1)
+    assert np.median(dv) < 5e-2, dv
+    # And the K=20 estimate itself must track GT at measurement-noise level
+    err = np.linalg.norm(p32 - gt, axis=1)
+    rmse = np.sqrt(np.mean(err[5:] ** 2))
+    assert rmse < 0.12, rmse
+
+
+def _small_window_with_outlier(cfg, dtype=jnp.float64, yaw0=0.0):
+    """3-keyframe window whose slot-0 position fix is a 5 m outlier (and
+    whose slot-0 orientation fix carries a 30 deg yaw offset)."""
+    win = window.window_init(cfg, dtype)
+    pre = jax.tree_util.tree_map(
+        lambda x: x[0], window._empty_preint(1, dtype))
+    g = NavState(p=jnp.zeros(3, dtype), q=se3.quat_identity(dtype),
+                 v=jnp.zeros(3, dtype), ba=jnp.zeros(3, dtype),
+                 bg=jnp.zeros(3, dtype))
+    yaw_fix = jnp.asarray(
+        [np.cos(np.deg2rad(15.0)), 0.0, 0.0, np.sin(np.deg2rad(15.0))],
+        dtype)  # 30 deg yaw
+    for k in range(3):
+        meas = jnp.asarray([5.0 if k == 0 else float(k) * 0.1, 0.0, 0.0],
+                           dtype)
+        win = window.window_push(
+            win, g._replace(p=jnp.asarray([float(k) * 0.1, 0.0, 0.0], dtype)),
+            jnp.asarray(float(k), dtype), meas, jnp.asarray(True), pre,
+            jnp.asarray(0.5, dtype), cfg,
+            meas_q=yaw_fix, meas_q_valid=(k == 0))
+    return win
+
+
+def test_marginalization_mirrors_huber_weight():
+    """ADVICE r2: the slot-0 marginalization linearization must apply the
+    same sqrt-Huber IRLS weight as the optimized objective — a 5 m outlier
+    fix on the marginalized keyframe must NOT enter the prior at full
+    (unrobustified) weight."""
+    cfg_h = window.WindowConfig(window_size=3, pos_sigma=0.05,
+                                huber_delta=0.1)
+    cfg_n = cfg_h._replace(huber_delta=0.0)
+    win = _small_window_with_outlier(cfg_h)
+    m_h = window._marginalize_oldest(win, cfg_h)
+    m_n = window._marginalize_oldest(win, cfg_n)
+    # The robustified linearization carries strictly less information from
+    # the outlier: both the prior gradient and the position block of the
+    # sqrt information must shrink.
+    assert (np.linalg.norm(np.asarray(m_h.prior_r0))
+            < 0.5 * np.linalg.norm(np.asarray(m_n.prior_r0)))
+    blk = lambda m: np.linalg.norm(np.asarray(m.prior_sqrt_info)[:3, :3])
+    assert blk(m_h) < blk(m_n)
+
+
+def test_marginalization_mirrors_yaw_only_factor():
+    """ADVICE r2: in GPS mode with the yaw-only heading factor enabled, the
+    marginalized prior must include the slot-0 yaw information (the old
+    linearization silently dropped it)."""
+    base = window.WindowConfig(
+        window_size=3, use_gps=True, gps_pos_sigma=0.1,
+        gps_pos_z_sigma_factor=1.0, use_gps_velocity=False,
+        yaw_weight=2.0)
+    cfg_y = base._replace(use_yaw_only_orientation=True)
+    win = _small_window_with_outlier(cfg_y)
+    m_y = window._marginalize_oldest(win, cfg_y)
+    m_n = window._marginalize_oldest(win, base)
+    # Yaw tangent component is index 5 (p 0:3, theta 3:6); the 30 deg
+    # offset on slot 0 must show up in the prior residual/information.
+    r_y = np.asarray(m_y.prior_r0)
+    r_n = np.asarray(m_n.prior_r0)
+    assert not np.allclose(r_y, r_n)
+    info_yaw = lambda m: float(np.asarray(m.prior_sqrt_info)[5, 5])
+    assert info_yaw(m_y) >= info_yaw(m_n)

@@ -78,9 +78,15 @@ def preintegrate(acc, gyro, dt, acc_bias, gyro_bias,
 
     acc1 = acc - acc_bias
     gyro1 = gyro - gyro_bias
-    # next-sample values for midpoint interpolation (clamp at the end)
-    acc2 = jnp.concatenate([acc1[1:], acc1[-1:]], 0)
-    gyro2 = jnp.concatenate([gyro1[1:], gyro1[-1:]], 0)
+    # Next-sample values for midpoint interpolation (clamp at the end).
+    # A neighbor inside a masked-out hole (interior gap) must not leak
+    # padded garbage into the midpoint of the last valid sample before the
+    # hole — fall back to zero-order hold there (advisor r2 gap class).
+    valid_next = jnp.concatenate([valid[1:], valid[-1:]], 0)[:, None]
+    acc2 = jnp.where(valid_next,
+                     jnp.concatenate([acc1[1:], acc1[-1:]], 0), acc1)
+    gyro2 = jnp.where(valid_next,
+                      jnp.concatenate([gyro1[1:], gyro1[-1:]], 0), gyro1)
 
     if gravity_sensor is None:
         gravity_sensor = jnp.zeros(3, dtype)

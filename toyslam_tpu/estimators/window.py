@@ -399,8 +399,25 @@ def _marginalize_oldest(win: SlidingWindow, config: WindowConfig):
             ], dtype)
         else:
             w_pos = jnp.asarray(1.0 / config.pos_sigma, dtype)
-        parts.append(factors.position_residual(s0, win.meas_p[0], w_pos)
-                     * pos_gate)
+        r_p0 = factors.position_residual(s0, win.meas_p[0], w_pos) * pos_gate
+        if not config.use_gps and config.huber_delta > 0:
+            # Mirror _stack_residuals' sqrt-Huber IRLS weight so the prior
+            # installed on the new slot 0 linearizes the SAME robustified
+            # cost the window optimized (an outlier fix on the marginalized
+            # keyframe must not enter the prior at full weight).
+            nrm = jnp.sqrt(jnp.sum(r_p0 * r_p0) + 1e-12)
+            hw = jnp.sqrt(jnp.minimum(1.0, config.huber_delta
+                                      / config.pos_sigma / nrm))
+            r_p0 = r_p0 * jax.lax.stop_gradient(hw)
+        parts.append(r_p0)
+        if config.use_gps and config.use_yaw_only_orientation:
+            mq = win.meas_q[0]
+            yaw = jnp.arctan2(
+                2.0 * (mq[0] * mq[3] + mq[1] * mq[2]),
+                1.0 - 2.0 * (mq[2] * mq[2] + mq[3] * mq[3]))
+            parts.append(factors.yaw_only_orientation_residual(
+                s0, yaw, config.yaw_weight)
+                * (win.meas_q_valid[0] & win.active[0]).astype(dtype))
         if config.use_gps and config.use_gps_velocity \
                 and config.enable_velocity_constraint:
             parts.append(factors.velocity_residual(

@@ -77,13 +77,20 @@ def initialize_multihost(coordinator_address: str | None = None,
     Thin wrapper over ``jax.distributed.initialize`` so launchers don't
     import jax internals: call once per host process before any backend
     use; afterwards ``make_mesh()`` spans the full pod slice. No-op if
-    already initialized.
+    already initialized (checked explicitly — a second
+    ``jax.distributed.initialize`` after the backend came up raises a
+    generic RuntimeError, not an "already initialized" one).
     """
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax without is_initialized
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except RuntimeError as e:  # already initialized
+    except RuntimeError as e:  # raced/duplicate initialization
         if "already" not in str(e):
             raise
 

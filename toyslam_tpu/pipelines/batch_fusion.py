@@ -42,7 +42,9 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 class BatchFusionConfig(NamedTuple):
-    window: window.WindowConfig = window.WindowConfig(window_size=10)
+    # Reference default: optimization_window_size = 20
+    # (``uwb_imu_batch_node.cpp:3229-3235``).
+    window: window.WindowConfig = window.WindowConfig(window_size=20)
     preint: PreintegrationParams = PreintegrationParams(
         acc_noise=0.03, gyro_noise=0.002)
     # Divergence reset threshold (PositionDriftFactor limit / reset logic)
@@ -114,10 +116,14 @@ def batch_fusion(imu_acc, imu_gyro, imu_dt, imu_valid,
     if meas_q_valid is None:
         meas_q_valid = jnp.zeros((M,), bool)
     if mean_acc is None:
-        # default: last valid accelerometer sample of the chunk
-        idx = jnp.maximum(
-            jnp.sum(imu_valid.astype(jnp.int32), axis=1) - 1, 0)
-        mean_acc = imu_acc[jnp.arange(M), idx]
+        # Default: masked mean of the chunk's valid accelerometer samples
+        # (the reference's GravityAlignmentFactor consumes an averaged
+        # acceleration, ``uwb_imu_batch_node.cpp:296-334,4510-4536``; a
+        # single sample would make the factor noise-dominated, and mean
+        # over the mask is also robust to interior gaps in the chunk).
+        wv = imu_valid.astype(dtype)[..., None]
+        mean_acc = (jnp.sum(imu_acc * wv, axis=1)
+                    / jnp.maximum(jnp.sum(wv, axis=1), 1.0))
     acc_valid = jnp.sum(imu_valid.astype(jnp.int32), axis=1) > 0
 
     win0 = (window.window_init(cfg_w, dtype)

@@ -591,7 +591,13 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
     stats = ndt_map.hash_table[h]  # [NK, 16] — THE row gather
-    vox_valid = stats[:, 9] > 0.5
+    # Exactly-one-voxel gate: hash-colliding valid voxels ADD their rows
+    # (see build_ndt_map), and the summed 16-bit id halves of two aliased
+    # ids can coincidentally equal a third in-grid voxel id — the id check
+    # alone would then accept a sum of two Gaussians. The valid channel of
+    # such a row is 2.0, so requiring it to be exactly one voxel restores
+    # the invariant that every id-verified row is an exact map row.
+    vox_valid = (stats[:, 9] > 0.5) & (stats[:, 9] < 1.5)
     # Aliasing/occupancy verification via the id halves in the same row
     vid_match = (
         (stats[:, 10] == (nvid & 0xFFFF).astype(dtype))

@@ -88,10 +88,33 @@ def classify_signals_attenuation(receiver, sat_pos, city: Buildings):
     return jnp.any(hit, axis=-1), jnp.sum(hit.astype(jnp.int32), axis=-1), att
 
 
+def _segment_blocked(p0, p1, city: Buildings, exclude=None):
+    """Is the segment p0 -> p1 blocked by any building (optionally excluding
+    building index ``exclude``)? Mirrors ``checkSignalBlockage``
+    (``RangingRC.cpp:1696-1717``). p0/p1 broadcast over leading dims;
+    returns bool with those leading dims."""
+    d = p1 - p0
+    seg_len = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dir_ = d / jnp.maximum(seg_len, 1e-9)
+    hit = ray_aabb_intersect(
+        p0[..., None, :], dir_[..., None, :],
+        city.min_xyz, city.max_xyz, seg_len)  # [..., B]
+    if exclude is not None:
+        B = city.min_xyz.shape[0]
+        hit = hit & (jnp.arange(B) != exclude[..., None])
+    return jnp.any(hit, axis=-1)
+
+
 def _face_reflections(receiver, sat_pos, city: Buildings):
     """Single-bounce reflections off the 4 vertical faces of each building
     (mirror method; closed form for axis-aligned faces, replacing the
     reference's search ``:1744-1863``).
+
+    Both path segments (satellite -> reflection point and reflection point
+    -> receiver) are validated against ALL buildings, as the reference's
+    reflection search does via ``checkSignalBlockage``
+    (``RangingRC.cpp:1696-1717,1744-1863``) — a geometric mirror hit whose
+    bounce path passes through a third building is NOT usable multipath.
 
     Returns (has_reflection [S], extra_path [S], refl_building [S]).
     """
@@ -104,6 +127,7 @@ def _face_reflections(receiver, sat_pos, city: Buildings):
     bld_best = jnp.full((S,), -1, jnp.int32)
 
     direct = jnp.linalg.norm(sat_pos - receiver, axis=-1)
+    bidx = jnp.arange(B, dtype=jnp.int32)
 
     for axis in (0, 1):
         for side in (0, 1):
@@ -133,7 +157,17 @@ def _face_reflections(receiver, sat_pos, city: Buildings):
                 receiver[axis] < plane,
                 receiver[axis] > plane,
             )[None, :]
-            valid = in_face & outside
+            # Both bounce segments must be clear of every OTHER building
+            # (the reflector itself is excluded: the bounce rays leave its
+            # surface outward and a grazing slab hit would self-occlude).
+            excl = jnp.broadcast_to(bidx[None, :], (S, B))
+            up_clear = ~_segment_blocked(
+                jnp.broadcast_to(sat_pos[:, None, :], (S, B, 3)), hit_pt,
+                city, exclude=excl)
+            down_clear = ~_segment_blocked(
+                hit_pt, jnp.broadcast_to(receiver, (S, B, 3)),
+                city, exclude=excl)
+            valid = in_face & outside & up_clear & down_clear
             # Reflected path length = |sat -> mirrored receiver|
             refl_len = jnp.linalg.norm(mirrored[None] - sat_pos[:, None],
                                        axis=-1)
@@ -205,7 +239,8 @@ def receiver_clock_walk(key, n_steps, dt, bias0=0.0, drift0=1e-7,
 
 
 def simulate_urban_epochs(key, positions, times, eph, city: Buildings,
-                          ref_lla, clock_bias_m=None):
+                          ref_lla, clock_bias_m=None, iono_params=None,
+                          apply_atmosphere: bool = True):
     """Time-propagated canyon drive (``RangingRC.cpp:135-266`` + the update
     loop): Kepler-propagate the broadcast ephemeris at every epoch, express
     the satellites in the city's local ENU frame, and run the ray-traced
@@ -215,12 +250,17 @@ def simulate_urban_epochs(key, positions, times, eph, city: Buildings,
     times: [T] GPS seconds-of-week; eph: a ``gnss.ephemeris.GpsEphemeris``
     (e.g. ``gnss.pipeline.synthetic_constellation``); ref_lla: [3] the ENU
     origin. clock_bias_m: optional [T] receiver clock walk (default: a
-    generated random walk, ``:976-990``).
+    generated random walk, ``:976-990``). The reference's pseudorange error
+    budget includes iono + tropo (``RangingRC.cpp:379-542``), so by default
+    Klobuchar (``iono_params``, default broadcast-zero -> the model's 5 ns
+    floor) and the 2.3/sin(el) troposphere are applied per satellite;
+    ``apply_atmosphere=False`` restores clean geometric ranges.
 
     Returns dict(pseudoranges [T, S], budget leaves [T, S], sat_enu
-    [T, S, 3], clock_bias_m [T]).
+    [T, S, 3], iono/tropo [T, S], clock_bias_m [T]).
     """
     from toyslam_tpu.core.geodesy import ecef_to_enu_rotation, lla_to_ecef
+    from toyslam_tpu.gnss import atmosphere
     from toyslam_tpu.gnss.ephemeris import sat_pos_vel_clock
 
     T = positions.shape[0]
@@ -231,6 +271,10 @@ def simulate_urban_epochs(key, positions, times, eph, city: Buildings,
         k_clk, key = jax.random.split(key)
         dt = jnp.where(T > 1, times[1] - times[0], 1.0)
         clock_bias_m = receiver_clock_walk(k_clk, T, dt)
+    if iono_params is None:
+        dtype = positions.dtype
+        iono_params = atmosphere.IonoParams(alpha=jnp.zeros(4, dtype),
+                                            beta=jnp.zeros(4, dtype))
 
     def one_epoch(carry_key, inp):
         pos, tow, cb = inp
@@ -240,16 +284,28 @@ def simulate_urban_epochs(key, positions, times, eph, city: Buildings,
         rng = jnp.linalg.norm(sat_enu - pos, axis=-1)
         elev = jnp.arcsin(jnp.clip((sat_enu[:, 2] - pos[2])
                                    / jnp.maximum(rng, 1e-9), -1, 1))
+        azim = jnp.arctan2(sat_enu[:, 0] - pos[0], sat_enu[:, 1] - pos[1])
+        iono_m = jnp.where(
+            apply_atmosphere,
+            atmosphere.klobuchar_delay(iono_params, tow, ref_lla[0],
+                                       ref_lla[1], elev, azim),
+            0.0)
+        tropo_m = jnp.where(
+            apply_atmosphere,
+            atmosphere.simple_troposphere_delay(elev), 0.0)
         pr, budget = simulate_urban_pseudoranges(
-            k, pos, sat_enu, elev, city, clock_bias_m=cb)
+            k, pos, sat_enu, elev, city, clock_bias_m=cb,
+            iono_m=iono_m, tropo_m=tropo_m)
         pr = jnp.where(sat["valid"], pr, jnp.nan)
         usable = budget.usable & sat["valid"] & (elev > 0)
-        return key, (pr, budget._replace(usable=usable), sat_enu, elev)
+        return key, (pr, budget._replace(usable=usable), sat_enu, elev,
+                     iono_m, tropo_m)
 
-    key, (prs, budgets, sat_enu, elevs) = jax.lax.scan(
+    key, (prs, budgets, sat_enu, elevs, ionos, tropos) = jax.lax.scan(
         one_epoch, key, (positions, times, clock_bias_m))
     return {"pseudoranges": prs, "budget": budgets, "sat_enu": sat_enu,
-            "elevations": elevs, "clock_bias_m": clock_bias_m}
+            "elevations": elevs, "iono_m": ionos, "tropo_m": tropos,
+            "clock_bias_m": clock_bias_m}
 
 
 def simulate_urban_pseudoranges(key, receiver, sat_pos, elevations,
@@ -272,8 +328,10 @@ def simulate_urban_pseudoranges(key, receiver, sat_pos, elevations,
 def skyplot_records(epochs: dict, times=None):
     """Serialize a ``simulate_urban_epochs`` result as the headless skyplot
     stream (``publishSkyplot``, ``RangingRC.cpp:1917-3497``): one dict per
-    epoch with per-satellite az/el/C/N0 and the LOS / blocked / multipath
-    class the RViz skyplot colors by. JSONL-ready.
+    epoch with per-satellite az/el/C/N0, the LOS / blocked / multipath
+    class the RViz skyplot colors by, and the per-epoch DOP of the usable
+    geometry (the reference publishes DOP text alongside the skyplot,
+    ``calculateDOP``). JSONL-ready.
     """
     import numpy as np
 
@@ -300,8 +358,35 @@ def skyplot_records(epochs: dict, times=None):
                 "class": cls,
                 "usable": bool(usable[e, s]),
             })
-        out.append({
+        rec = {
             "t": float(times[e]) if times is not None else e,
             "sats": sats,
-        })
+        }
+        rec.update(dop_from_az_el(az[usable[e]], elevs[e][usable[e]]))
+        out.append(rec)
     return out
+
+
+def dop_from_az_el(az, el):
+    """GDOP/PDOP/HDOP/VDOP from usable-satellite az/el (``calculateDOP``,
+    ``RangingRC.cpp`` — the standard unweighted geometry matrix
+    G = [e n u 1] per satellite). Returns NaNs below 4 satellites."""
+    import numpy as np
+
+    az = np.asarray(az, np.float64)
+    el = np.asarray(el, np.float64)
+    nan = {"gdop": float("nan"), "pdop": float("nan"),
+           "hdop": float("nan"), "vdop": float("nan")}
+    if len(az) < 4:
+        return nan
+    G = np.stack([np.cos(el) * np.sin(az), np.cos(el) * np.cos(az),
+                  np.sin(el), np.ones_like(el)], 1)
+    try:
+        Q = np.linalg.inv(G.T @ G)
+    except np.linalg.LinAlgError:
+        return nan
+    d = np.diag(Q)
+    return {"gdop": round(float(np.sqrt(d.sum())), 3),
+            "pdop": round(float(np.sqrt(d[:3].sum())), 3),
+            "hdop": round(float(np.sqrt(d[:2].sum())), 3),
+            "vdop": round(float(np.sqrt(d[2])), 3)}

@@ -42,10 +42,11 @@ def from_transforms(times, transforms, vel=None) -> Trajectory:
         t = np.asarray(times, dtype=np.float64)
         if len(t) > 1:
             # Consistent central differences over the actual (possibly
-            # irregular) sample times.
-            tt = t.copy()
-            # np.gradient requires strictly increasing coordinates
-            tt += np.arange(len(tt)) * 1e-12
+            # irregular) sample times. np.gradient requires strictly
+            # increasing coordinates; exactly duplicated timestamps are
+            # common in real logs, so enforce a minimum spacing of 1e-9 s
+            # (a 1e-12 jitter here once produced ~1e12 velocities).
+            tt = np.maximum.accumulate(t + np.arange(len(t)) * 1e-9)
             vel = np.gradient(pos, tt, axis=0)
         else:
             vel = np.zeros_like(pos)
