@@ -142,14 +142,12 @@ def main(argv=None):
         host.__exit__(None, None, None)
         ep = jax.device_put(ep, jax.devices()[0])  # f32 leaves -> chip
         solve = jax.jit(local.solve_epochs_local, static_argnums=1)
-        import time
-
         sol = jax.block_until_ready(solve(ep, cfg))
-        t0 = time.perf_counter()
-        sol = jax.block_until_ready(solve(ep, cfg))
-        eps_s = args.epochs / (time.perf_counter() - t0)
-        print(f"on-chip solve ({jax.default_backend()}): "
-              f"{eps_s:.0f} epochs/s f32")
+        # No naive timing print here: repeated dispatches get elided by
+        # the runtime (docs/TPU_NOTES.md "Honest measurement");
+        # bench.py's gnss_epochs_per_sec_f32 is the verified number.
+        print(f"on-chip f32 local-frame solve ({jax.default_backend()}): "
+              f"{args.epochs} epochs")
         est_xyz = np.asarray(ref)[None] + np.asarray(sol.delta, np.float64)
         est = np.concatenate(
             [est_xyz, np.asarray(sol.clock_bias, np.float64)[:, None]], 1)

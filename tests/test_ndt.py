@@ -376,11 +376,10 @@ def test_parity_config_long_sequence_ate_vs_golden(sample_pcds):
         c[:, :3] += rng_.normal(0, 0.01, (len(c), 3)).astype(np.float32)
         xyzi[k] = c
 
-    base = odo.OdometryConfig()
-    cfg = base._replace(
-        coarse_leaf=0.0,
-        ndt=base.ndt._replace(regather_iterations=4,
-                              transformation_epsilon=0.001))
+    # The SHIPPED default IS the parity config (eps 1e-3, regather 4, no
+    # coarse stage) — this test pins that the default satisfies the ATE
+    # half of the BASELINE demand; bench.py records the throughput half.
+    cfg = odo.OdometryConfig()
     out = jax.jit(lambda s, m: odo.ndt_odometry(s, m, cfg))(
         jnp.asarray(xyzi), jnp.asarray(mask))
     assert bool(np.asarray(out.converged)[1:].all())

@@ -29,14 +29,28 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 class OdometryConfig(NamedTuple):
+    """Shipped default = the round-3 measured config that satisfies BOTH
+    BASELINE targets with one setting (driver targets: >= 100 scans/s on
+    256k-pt scans AND trajectory ATE <= 1e-3 m vs pclomp): 133 scans/s on
+    the TPU v5e 256k bench and 7.6e-4 m ATE vs the f64 golden over a
+    64-scan drifting sequence (test_parity_config_long_sequence_ate_vs_
+    golden; frontier table in docs/TPU_NOTES.md)."""
+
     ndt: ndt.NDTConfig = ndt.NDTConfig(
         # ndt_rosbag_mapping_node defaults (:81-92,103): res 1.0, step 0.1,
-        # eps 0.01, 64 iters (the Newton loop is a lax.while_loop with early
-        # exit, so the full budget costs nothing once converged).
-        # map_capacity sized for single-scan maps.
+        # 64 iters (the Newton loop is a lax.while_loop with early exit,
+        # so the full budget costs nothing once converged). map_capacity
+        # sized for single-scan maps.
         resolution=1.0,
         step_size=0.1,
-        transformation_epsilon=0.01,
+        # The reference's rosbag node uses eps 0.01 (:103); the tighter
+        # 0.001 here is what makes long-chain golden parity hold: the
+        # eps-ball termination slack random-walks over chained aligns
+        # (measured 64-scan ATE 1.6e-2 at eps 0.01 vs 7.6e-4 at 0.001 —
+        # for EVERY control-flow variant, including exact), while warm
+        # starts keep the extra Newton iterations near zero (~2.2 -> 2.3
+        # average) and the 256k throughput at 133 scans/s.
+        transformation_epsilon=0.001,
         max_iterations=64,
         map_capacity=8192,
         # 32k hash slots comfortably hold the <= 8192 map voxels (aliasing
@@ -46,12 +60,13 @@ class OdometryConfig(NamedTuple):
         # Line-search trials reuse the first trial's voxel gather (the
         # dominant cost); first-trial-accepted iterations stay exact.
         frozen_linesearch=True,
-        # Regather the voxel neighborhood only for the first 2 Newton
-        # steps and carry it afterwards: gathers are the hard cost floor
+        # Regather the voxel neighborhood for the first 4 Newton steps and
+        # carry it afterwards: gathers are the hard cost floor
         # (~9-12 ns/row), warm-started odometry poses move sub-voxel after
-        # 2 steps, and the result stays within 5 mm of always-regather
-        # (pinned by test_turbo_regather_stays_near_exact).
-        regather_iterations=2,
+        # a few steps, and 4 regathers keep the 64-scan golden-parity ATE
+        # at 7.6e-4 m (2 regathers drifted to 2.2e-3; the carry still
+        # saves the gathers of late iterations on hard aligns).
+        regather_iterations=4,
     )
     scan_leaf: float = 0.3  # per-scan downsample (``:88``)
     map_leaf: float = 0.5  # global-map re-filter (``:153``)
@@ -61,19 +76,18 @@ class OdometryConfig(NamedTuple):
     # capacity would make every registration process dead padded lanes.
     work_capacity: int = 16384
     # Coarse-to-fine align: run Newton first on a coarser downsample of the
-    # source (same map; random row gathers are the align's hard cost floor
-    # and scale with source points), then refine on the full working cloud
-    # warm-started from the coarse pose. Both stages use the identical
-    # |dp| < eps convergence test, so the fine stage converges to the same
-    # optimum in 1-3 iterations instead of 5-10 (pinned within mm by
-    # test_coarse_to_fine_matches_direct). 0.0 disables (single-stage
-    # exact reference control flow).
-    coarse_leaf: float = 0.9
+    # source (same map), then refine on the full working cloud warm-started
+    # from the coarse pose. OFF by default: measured round 3 (verified
+    # elision-proof harness), the coarse stage no longer pays for itself
+    # at the 256k scale (133 scans/s without vs 117 with) and its guess
+    # perturbation breaks the <= 1e-3 golden-parity bound (64-scan ATE
+    # 1.8e-3 even with a fully-regathered fine stage). Retained as an
+    # opt-in for cold starts / poor initial guesses.
+    coarse_leaf: float = 0.0
     coarse_capacity: int = 6144
-    # Fine-stage regather budget: the coarse pose is already sub-voxel, so
-    # the single neighborhood gather at the warm-started guess serves the
-    # whole refinement (NDTConfig.regather_iterations for the fine stage;
-    # 0 = freeze the initial gather).
+    # Fine-stage regather budget when coarse-to-fine is enabled (the
+    # coarse pose is already sub-voxel, so a frozen initial gather can
+    # serve the refinement; 0 = freeze the initial gather).
     fine_regather: int = 0
 
 
