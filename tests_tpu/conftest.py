@@ -1,0 +1,53 @@
+"""On-hardware test lane (VERDICT r2 item 3).
+
+Unlike ``tests/conftest.py`` (which forces an 8-virtual-device CPU mesh so
+the suite runs anywhere), this lane runs on the REAL backend the
+environment provides — the axon TPU chip in production. Every test here
+is skipped unless ``jax.default_backend() == "tpu"``, so
+
+    python -m pytest tests_tpu/ -q
+
+is a no-op on CI CPU boxes and the on-chip validation pass on a TPU host.
+x64 stays OFF: this lane validates the production f32 surface; f64 oracles
+(tests/golden_ndt.py) are NumPy and run host-side regardless.
+
+First-compile latency on the axon chip is 20-40 s per program; the lane is
+deliberately small (one test per hardware claim: Pallas kernel equality,
+golden align pose, f32 window step, vmapped batch align).
+"""
+
+import os
+import sys
+
+import pytest
+import numpy as np
+
+# Make tests/ importable for the shared f64 golden oracle.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import jax  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() == "tpu":
+        return
+    skip = pytest.mark.skip(reason="tests_tpu/ requires a real TPU backend")
+    for item in items:
+        item.add_marker(skip)
+
+
+REF_DATA = "/root/reference/ndt_omp/data"
+
+
+@pytest.fixture(scope="session")
+def sample_pcds():
+    from toyslam_tpu.core import pcd_io
+
+    target = pcd_io.read_pcd(f"{REF_DATA}/251370668.pcd")
+    source = pcd_io.read_pcd(f"{REF_DATA}/251371071.pcd")
+    return target, source
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)

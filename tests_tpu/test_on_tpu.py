@@ -1,0 +1,188 @@
+"""On-chip validation of the claims the CPU suite can only approximate.
+
+The CPU suite (tests/) validates everything numerically but never executes
+on the TPU backend: the Pallas kernel runs in interpret mode there, and
+the f32 claims are checked on CPU f32. This lane re-proves the four
+hardware-facing claims on the real chip (VERDICT r2 item 3):
+
+1. the fused Pallas derivative kernel (default-on for TPU f32,
+   ``registration/ndt.py:654-657``) equals the jnp path ON HARDWARE;
+2. the end-to-end f32 align on the reference sample pair lands on the
+   f64 golden pose (<= 1e-3 m / 1e-4 rad; oracle runs host-side NumPy);
+3. one f32 ``window_optimize`` step is finite and reduces the cost;
+4. ``vmap_align`` (the batched fleet primitive) matches per-pair aligns.
+
+Reference behaviors being validated: ``ndt_omp_impl.hpp`` derivative
+stack, ``uwb_imu_batch_node.cpp`` windowed GN, ``align.cpp`` batch use.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from toyslam_tpu.core import pointcloud
+from toyslam_tpu.registration import ndt
+
+
+def _structured_cloud(rng, n=4000):
+    """Floor + two walls + noise (same scene family as tests/test_ndt)."""
+    floor = np.stack(
+        [rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+         0.05 * rng.normal(size=n)], 1)
+    wall1 = np.stack(
+        [rng.uniform(-20, 20, n // 2),
+         np.full(n // 2, 8.0) + 0.05 * rng.normal(size=n // 2),
+         rng.uniform(0, 5, n // 2)], 1)
+    wall2 = np.stack(
+        [np.full(n // 2, -12.0) + 0.05 * rng.normal(size=n // 2),
+         rng.uniform(-20, 20, n // 2), rng.uniform(0, 5, n // 2)], 1)
+    return np.concatenate([floor, wall1, wall2], 0)
+
+
+def test_pallas_deriv_matches_jnp_on_hardware(rng):
+    """The real-Mosaic-compiled kernel (not interpret mode) must agree
+    with the jnp derivative path, both executed on the chip in f32."""
+    pts = _structured_cloud(rng, 700)
+    pts4 = np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+    target = pointcloud.from_numpy(pts4, capacity=2048, dtype=jnp.float32)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = jax.jit(ndt.build_ndt_map, static_argnums=1)(target, cfg)
+
+    n_src = 1024  # divisible by the 1024-row Pallas tile
+    src = jnp.asarray(np.tile(pts4, (2, 1))[:n_src] + 0.1, jnp.float32)
+    mask = jnp.ones(n_src, bool)
+    d1, d2, _ = ndt.gauss_coefficients(2.0, 0.55, jnp.float32)
+    p = jnp.asarray([0.05, -0.1, 0.08, 0.02, -0.03, 0.05], jnp.float32)
+    offs = ndt._OFFSETS["DIRECT7"]
+
+    f_jnp = jax.jit(lambda: ndt.compute_derivatives(
+        m, src, mask, p, d1, d2, 2.0, offs, use_pallas=False))
+    f_pal = jax.jit(lambda: ndt.compute_derivatives(
+        m, src, mask, p, d1, d2, 2.0, offs, use_pallas=True))
+    s0, g0, h0 = jax.block_until_ready(f_jnp())
+    s1, g1, h1 = jax.block_until_ready(f_pal())
+
+    # Both paths are f32 on the same data; differences are summation
+    # order only.
+    np.testing.assert_allclose(float(s1), float(s0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_sample_pair_align_matches_golden_on_hardware(sample_pcds):
+    """End-to-end f32 align on the chip vs the f64 NumPy golden oracle
+    (exact pclomp control flow) on the reference benchmark pair."""
+    import golden_ndt
+
+    target_np, source_np = sample_pcds
+    cap = 70000
+    target = pointcloud.from_numpy(target_np, capacity=cap,
+                                   dtype=jnp.float32)
+    source = pointcloud.from_numpy(source_np, capacity=cap,
+                                   dtype=jnp.float32)
+    target_ds = jax.jit(pointcloud.voxel_downsample, static_argnums=1)(
+        target, 0.1)
+    source_ds = jax.jit(pointcloud.voxel_downsample, static_argnums=1)(
+        source, 0.1)
+
+    cfg = ndt.NDTConfig(resolution=1.0)
+    m = jax.jit(ndt.build_ndt_map, static_argnums=1)(target_ds, cfg)
+    result = jax.block_until_ready(
+        jax.jit(ndt.ndt_align, static_argnums=3)(
+            m, source_ds, jnp.eye(4, dtype=jnp.float32), cfg))
+    assert bool(result.converged)
+
+    t_pts = np.asarray(target_ds.xyzi)[np.asarray(target_ds.mask)][:, :3]
+    s_pts = np.asarray(source_ds.xyzi)[np.asarray(source_ds.mask)][:, :3]
+    leaves, min_b, max_b, div = golden_ndt.build_map(
+        t_pts.astype(np.float64), 1.0)
+    _, p_gold, _, _ = golden_ndt.align(
+        leaves, min_b, max_b, div, s_pts.astype(np.float64))
+
+    p_tpu = np.asarray(result.pose6)
+    assert np.abs(p_tpu[:3] - p_gold[:3]).max() < 1e-3, (p_tpu, p_gold)
+    assert np.abs(p_tpu[3:] - p_gold[3:]).max() < 1e-4, (p_tpu, p_gold)
+
+    fit = float(ndt.fitness_score(source_ds, target_ds, result.transform))
+    assert abs(fit - 0.204504) < 2e-3, fit
+
+
+def test_window_f32_step_on_hardware():
+    """One keyframe push + GN optimize of the flagship smoother in f32 on
+    the chip: states stay finite and the optimized position moves toward
+    the measurement from a deliberately offset guess."""
+    from toyslam_tpu.estimators import window, preintegration
+    from toyslam_tpu.estimators.factors import NavState
+
+    cfg = window.WindowConfig(window_size=10, gn_iterations=5,
+                              pos_sigma=0.05)
+    win = window.window_init(cfg, jnp.float32)
+    params = preintegration.PreintegrationParams(acc_noise=0.03,
+                                                 gyro_noise=0.002)
+    R = 50
+    dt = jnp.full((R,), 1.0 / 200.0, jnp.float32)
+    acc = jnp.tile(jnp.asarray([0.0, 0.0, 9.81], jnp.float32), (R, 1))
+    gyro = jnp.zeros((R, 3), jnp.float32)
+    pre = preintegration.preintegrate(
+        acc, gyro, dt, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        gravity_sensor=jnp.asarray([0.0, 0.0, -9.81], jnp.float32),
+        params=params)
+
+    meas = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    guess = NavState(p=meas + 0.3,
+                     q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                     v=jnp.zeros(3, jnp.float32),
+                     ba=jnp.zeros(3, jnp.float32),
+                     bg=jnp.zeros(3, jnp.float32))
+    win = jax.jit(window.window_push, static_argnums=7)(
+        win, guess, jnp.asarray(0.0, jnp.float32), meas,
+        jnp.asarray(True), pre, jnp.asarray(R / 200.0, jnp.float32), cfg)
+    out = jax.block_until_ready(
+        jax.jit(window.window_optimize, static_argnums=1)(win, cfg))
+
+    p_opt = np.asarray(jax.tree_util.tree_map(lambda x: x[0], out.states).p)
+    assert np.isfinite(np.asarray(out.states.p)).all()
+    # GN with a 0.05-sigma position factor pulls the 0.3 m offset guess
+    # onto the measurement.
+    assert np.linalg.norm(p_opt - np.asarray(meas)) < 0.05
+
+
+def test_vmap_align_batch_matches_sequential_on_hardware(rng):
+    """The fleet primitive (one compiled program, B pairs) must equal
+    per-pair aligns on the chip."""
+    from toyslam_tpu.parallel import batch
+
+    B, N = 3, 2048
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    t_list, s_list = [], []
+    for b in range(B):
+        pts = _structured_cloud(rng, 600)[:N - 64]
+        pts4 = np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+        pad = np.zeros((N - len(pts4), 4))
+        t_list.append(np.concatenate([pts4, pad], 0))
+        shift = np.array([0.3 + 0.1 * b, -0.2, 0.05 * b, 0.0])
+        s_list.append(np.concatenate([pts4 + shift, pad], 0))
+    mask = np.zeros((B, N), bool)
+    mask[:, :len(pts4)] = True
+
+    t_x = jnp.asarray(np.stack(t_list), jnp.float32)
+    s_x = jnp.asarray(np.stack(s_list), jnp.float32)
+    msk = jnp.asarray(mask)
+
+    batched = jax.block_until_ready(
+        jax.jit(batch.vmap_align, static_argnums=4)(
+            t_x, msk, s_x, msk, cfg))
+
+    for b in range(B):
+        m = jax.jit(ndt.build_ndt_map, static_argnums=1)(
+            pointcloud.PointCloud(t_x[b], msk[b]), cfg)
+        one = jax.jit(ndt.ndt_align, static_argnums=3)(
+            m, pointcloud.PointCloud(s_x[b], msk[b]),
+            jnp.eye(4, dtype=jnp.float32), cfg)
+        np.testing.assert_allclose(np.asarray(batched.pose6[b]),
+                                   np.asarray(one.pose6),
+                                   rtol=1e-4, atol=1e-4)
