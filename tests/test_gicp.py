@@ -79,3 +79,76 @@ def test_sparse_cloud_covariances_fall_back_to_identity(rng):
     eye = np.eye(3, dtype=np.float32)
     for i in range(64):
         np.testing.assert_allclose(C[i], eye, atol=1e-6)
+
+
+def test_pallas_nn_path_matches_jnp(rng):
+    """The fused Pallas correspondence kernel (interpret mode on CPU) must
+    reproduce the jnp argmin path: same final transform, same converged
+    flag (ops/nn_pallas.py; on-hardware equality is re-proven in
+    tests_tpu/)."""
+    from unittest import mock
+
+    from toyslam_tpu.ops import nn_pallas
+
+    pts = _structured_cloud(rng, n=1024)
+    true_p = np.array([0.3, -0.2, 0.1, 0.01, -0.02, 0.05])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    src_pts = (pts - T_true[:3, 3]) @ T_true[:3, :3]
+
+    # 2048 capacity: tiles cleanly AND half of every cloud is pad rows,
+    # exercising the zeroed-column/sentinel masking contract.
+    target = pointcloud.from_numpy(pts, capacity=2048, dtype=jnp.float32)
+    source = pointcloud.from_numpy(src_pts, capacity=2048,
+                                   dtype=jnp.float32)
+
+    res_jnp = gicp.gicp_align(source, target,
+                              config=gicp.GICPConfig(use_pallas_nn=False))
+    orig = nn_pallas.nearest_neighbor
+    with mock.patch.object(
+            nn_pallas, "nearest_neighbor",
+            lambda *a, **k: orig(*a, interpret=True, **k)):
+        res_pal = gicp.gicp_align(
+            source, target, config=gicp.GICPConfig(use_pallas_nn=True))
+
+    assert bool(res_pal.converged) == bool(res_jnp.converged)
+    np.testing.assert_allclose(np.asarray(res_pal.transform),
+                               np.asarray(res_jnp.transform),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(res_pal.error), float(res_jnp.error),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_pallas_terms_path_matches_jnp(rng):
+    """The fused GN-terms kernel (interpret mode on CPU) must reproduce
+    the jnp normal-equation path (ops/gicp_pallas.py)."""
+    from unittest import mock
+
+    from toyslam_tpu.ops import gicp_pallas
+
+    pts = _structured_cloud(rng, n=1024)
+    true_p = np.array([0.3, -0.2, 0.1, 0.01, -0.02, 0.05])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    src_pts = (pts - T_true[:3, 3]) @ T_true[:3, :3]
+
+    target = pointcloud.from_numpy(pts, capacity=2048, dtype=jnp.float32)
+    source = pointcloud.from_numpy(src_pts, capacity=2048,
+                                   dtype=jnp.float32)
+
+    res_jnp = gicp.gicp_align(
+        source, target,
+        config=gicp.GICPConfig(use_pallas_nn=False, use_pallas_terms=False))
+    orig = gicp_pallas.gicp_terms
+    with mock.patch.object(
+            gicp_pallas, "gicp_terms",
+            lambda *a, **k: orig(*a, interpret=True, **k)):
+        res_pal = gicp.gicp_align(
+            source, target,
+            config=gicp.GICPConfig(use_pallas_nn=False,
+                                   use_pallas_terms=True))
+
+    assert bool(res_pal.converged) == bool(res_jnp.converged)
+    np.testing.assert_allclose(np.asarray(res_pal.transform),
+                               np.asarray(res_jnp.transform),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(res_pal.error), float(res_jnp.error),
+                               rtol=1e-3, atol=1e-7)

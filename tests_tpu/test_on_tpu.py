@@ -2,7 +2,7 @@
 
 The CPU suite (tests/) validates everything numerically but never executes
 on the TPU backend: the Pallas kernel runs in interpret mode there, and
-the f32 claims are checked on CPU f32. This lane re-proves the four
+the f32 claims are checked on CPU f32. This lane re-proves the
 hardware-facing claims on the real chip (VERDICT r2 item 3):
 
 1. the fused Pallas derivative kernel (default-on for TPU f32,
@@ -10,7 +10,8 @@ hardware-facing claims on the real chip (VERDICT r2 item 3):
 2. the end-to-end f32 align on the reference sample pair lands on the
    f64 golden pose (<= 1e-3 m / 1e-4 rad; oracle runs host-side NumPy);
 3. one f32 ``window_optimize`` step is finite and reduces the cost;
-4. ``vmap_align`` (the batched fleet primitive) matches per-pair aligns.
+4. ``vmap_align`` (the batched fleet primitive) matches per-pair aligns;
+5. the GICP correspondence + GN-terms kernels equal the jnp paths.
 
 Reference behaviors being validated: ``ndt_omp_impl.hpp`` derivative
 stack, ``uwb_imu_batch_node.cpp`` windowed GN, ``align.cpp`` batch use.
@@ -186,3 +187,33 @@ def test_vmap_align_batch_matches_sequential_on_hardware(rng):
         np.testing.assert_allclose(np.asarray(batched.pose6[b]),
                                    np.asarray(one.pose6),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
+    """The GICP correspondence kernel (ops/nn_pallas.py) and GN-terms
+    kernel (ops/gicp_pallas.py), real-Mosaic-compiled, must reproduce the
+    jnp paths on the sample pair: same iterations, matching transform."""
+    from toyslam_tpu.registration import gicp
+
+    target_np, source_np = sample_pcds
+    ds = jax.jit(pointcloud.voxel_downsample, static_argnums=(1, 2))
+    t_ds = ds(pointcloud.from_numpy(target_np, capacity=70000,
+                                    dtype=jnp.float32), 0.1, 16384)
+    s_ds = ds(pointcloud.from_numpy(source_np, capacity=70000,
+                                    dtype=jnp.float32), 0.1, 16384)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    cfg_pal = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True)
+    cfg_jnp = gicp.GICPConfig(use_pallas_nn=False, use_pallas_terms=False)
+    r_pal = jax.block_until_ready(jax.jit(
+        gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_pal))
+    r_jnp = jax.block_until_ready(jax.jit(
+        gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_jnp))
+
+    assert bool(r_pal.converged) and bool(r_jnp.converged)
+    assert int(r_pal.iterations) == int(r_jnp.iterations)
+    np.testing.assert_allclose(np.asarray(r_pal.transform),
+                               np.asarray(r_jnp.transform),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(r_pal.error), float(r_jnp.error),
+                               rtol=1e-3)

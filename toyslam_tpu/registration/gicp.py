@@ -43,6 +43,17 @@ class GICPConfig(NamedTuple):
     # insensitive to one or two swapped far neighbors. Set True for the
     # exact (sort-based) semantics.
     exact_knn: bool = False
+    # Correspondence search: None auto-enables the fused Pallas
+    # distance+argmin kernel (ops/nn_pallas.py) on TPU f32 — it avoids
+    # materializing the [N, M] distance matrix (~1 GB HBM traffic per
+    # outer iteration at sample-pair scale) and matches jnp.argmin
+    # tie-breaking; any shape that doesn't tile falls back to jnp.
+    use_pallas_nn: bool | None = None
+    # Inner Gauss-Newton normal equations: None auto-enables the fused
+    # per-point terms kernel (ops/gicp_pallas.py) on TPU f32 when N is a
+    # multiple of 1024 — one launch per GN step instead of ~20 small
+    # XLA ops (measured 18.4 ms of the 70 ms sample-pair align).
+    use_pallas_terms: bool | None = None
     max_correspondence_distance: float = 5.0  # pcl default
     max_iterations: int = 20  # outer loop
     inner_iterations: int = 8  # GN steps per correspondence set
@@ -121,6 +132,23 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
     tgt_sq = jnp.sum(tgt * tgt, 1)
     max_d2 = config.max_correspondence_distance ** 2
 
+    use_pallas_nn = config.use_pallas_nn
+    if use_pallas_nn is None:
+        use_pallas_nn = (jax.default_backend() == "tpu"
+                         and dtype == jnp.float32)
+    if use_pallas_nn:
+        # Kernel operands: zeroed invalid columns + |t|^2 sentinel (see
+        # ops/nn_pallas.py docstring).
+        tgt_zT = jnp.where(target.mask[:, None], tgt, 0.0).T
+        tsq_sent = jnp.where(target.mask,
+                             jnp.sum(tgt_zT * tgt_zT, 0), _BIG)[None]
+
+    use_pallas_terms = config.use_pallas_terms
+    if use_pallas_terms is None:
+        use_pallas_terms = (jax.default_backend() == "tpu"
+                            and dtype == jnp.float32)
+    use_pallas_terms = use_pallas_terms and src.shape[0] % 1024 == 0
+
     def inverse3(M):
         a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
         e, f = M[..., 1, 1], M[..., 1, 2]
@@ -141,19 +169,29 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
         T, it, _conv, _err = carry
         R = T[:3, :3]
         moved = jnp.matmul(src, R.T, precision=_HP) + T[:3, 3]
-        d = (
-            jnp.sum(moved * moved, 1)[:, None]
-            - 2.0 * jnp.matmul(moved, tgt.T, precision=_HP)
-            + tgt_sq[None, :]
-        )
-        # Mask the FULL distance, not just |q|^2: for a padded target point
-        # at the 1e9 sentinel the cross term -2 p.q (~ -2e11) would dominate
-        # any additive penalty on |q|^2 and make pads the nearest neighbor.
-        d = jnp.where(target.mask[None, :], d, _BIG)
-        # argmin reduction, NOT top_k: TPU top_k lowers to a lane sort
-        # (measured ~44x slower than the min-reduction at [16k, 16k])
-        nn_i = jnp.argmin(d, axis=1)
-        nn_d = jnp.min(d, axis=1)
+        nn = None
+        if use_pallas_nn:
+            from toyslam_tpu.ops import nn_pallas
+
+            nn = nn_pallas.nearest_neighbor(moved, tgt_zT, tsq_sent)
+        if nn is not None:
+            part, nn_i = nn
+            nn_d = part + jnp.sum(moved * moved, 1)
+        else:
+            d = (
+                jnp.sum(moved * moved, 1)[:, None]
+                - 2.0 * jnp.matmul(moved, tgt.T, precision=_HP)
+                + tgt_sq[None, :]
+            )
+            # Mask the FULL distance, not just |q|^2: for a padded target
+            # point at the 1e9 sentinel the cross term -2 p.q (~ -2e11)
+            # would dominate any additive penalty on |q|^2 and make pads
+            # the nearest neighbor.
+            d = jnp.where(target.mask[None, :], d, _BIG)
+            # argmin reduction, NOT top_k: TPU top_k lowers to a lane sort
+            # (measured ~44x slower than the min-reduction at [16k, 16k])
+            nn_i = jnp.argmin(d, axis=1)
+            nn_d = jnp.min(d, axis=1)
         corr_ok = source.mask & (nn_d < max_d2)
 
         q = tgt[nn_i]  # matched target points
@@ -164,6 +202,51 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
         Minv = C_b + RCA
         M = inverse3(Minv)
         w = corr_ok.astype(dtype)
+
+        def _finish(T_new, T_prev, it_, q_, w_):
+            # Convergence on transform change (``transformation_epsilon``)
+            dT = jnp.abs(T_new - T_prev)
+            conv_ = (jnp.max(dT[:3, 3]) < config.transformation_epsilon) & (
+                jnp.max(dT[:3, :3]) < config.rotation_epsilon)
+            r_fin = jnp.matmul(src, T_new[:3, :3].T,
+                               precision=_HP) + T_new[:3, 3] - q_
+            err_ = jnp.sum(jnp.sum(r_fin * r_fin, -1) * w_) / jnp.maximum(
+                jnp.sum(w_), 1.0)
+            return (T_new, it_ + 1, conv_, err_)
+
+        if use_pallas_terms:
+            from toyslam_tpu.ops import gicp_pallas
+
+            R_N = src.shape[0] // 128
+            xyz3 = src.T.reshape(3, R_N, 128)
+            q3 = q.T.reshape(3, R_N, 128)
+            m6 = jnp.stack([
+                M[:, 0, 0], M[:, 0, 1], M[:, 0, 2],
+                M[:, 1, 1], M[:, 1, 2], M[:, 2, 2],
+            ]).reshape(6, R_N, 128)
+            w1 = w.reshape(R_N, 128)
+
+            def gn_body(_, Tin):
+                Rn = Tin[:3, :3]
+                tn = Tin[:3, 3]
+                params = jnp.concatenate([Rn.reshape(-1), tn])[None]
+                s27 = gicp_pallas.gicp_terms(params, xyz3, q3, m6, w1)
+                g = s27[:6]
+                iu = jnp.triu_indices(3)
+                A_tt = jnp.zeros((3, 3), dtype).at[iu].set(
+                    s27[6:12]).at[iu[1], iu[0]].set(s27[6:12])
+                A_tr = s27[12:21].reshape(3, 3)
+                A_rr = jnp.zeros((3, 3), dtype).at[iu].set(
+                    s27[21:27]).at[iu[1], iu[0]].set(s27[21:27])
+                A = jnp.block([[A_tt, A_tr], [A_tr.T, A_rr]])
+                A = A + config.damping * jnp.eye(6, dtype=dtype)
+                dx = -jnp.linalg.solve(A, g)
+                return se3.make_transform(
+                    se3.so3_exp(dx[3:6]) @ Rn, tn + dx[:3])
+
+            T_new = jax.lax.fori_loop(
+                0, config.inner_iterations, gn_body, T)
+            return _finish(T_new, T, it, q, w)
 
         def gn_body(_, Tin):
             Rn = Tin[:3, :3]
@@ -199,15 +282,7 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
             return T_new
 
         T_new = jax.lax.fori_loop(0, config.inner_iterations, gn_body, T)
-
-        # Convergence on transform change (``transformation_epsilon``)
-        dT = jnp.abs(T_new - T)
-        conv = (jnp.max(dT[:3, 3]) < config.transformation_epsilon) & (
-            jnp.max(dT[:3, :3]) < config.rotation_epsilon)
-        r_final = jnp.matmul(src, T_new[:3, :3].T, precision=_HP) + T_new[:3, 3] - q
-        err = jnp.sum(jnp.sum(r_final * r_final, -1) * w) / jnp.maximum(
-            jnp.sum(w), 1.0)
-        return (T_new, it + 1, conv, err)
+        return _finish(T_new, T, it, q, w)
 
     def outer_cond(carry):
         _T, it, conv, _err = carry
