@@ -69,3 +69,36 @@ def test_icp_slam_pipeline(rng):
     err = np.linalg.norm(est_t - np.stack(true_t), axis=1)
     assert err.max() < 0.15, err
     assert int(np.asarray(out.map_mask).sum()) > 100
+
+
+def test_icp_pallas_nn_matches_jnp(rng):
+    """The fused Pallas association kernel (interpret mode on CPU) must
+    reproduce the jnp argmin path end-to-end (ops/nn_pallas.py)."""
+    from unittest import mock
+
+    from toyslam_tpu.ops import nn_pallas
+
+    n = 600
+    pts = rng.uniform(-10, 10, size=(n, 3))
+    true_p = np.array([0.5, -0.3, 0.2, 0.05, -0.03, 0.08])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    moved = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+    # f32 + power-of-two capacities so the kernel path engages; padded
+    # target rows exercise the sentinel contract.
+    source = pointcloud.from_numpy(pts, capacity=1024, dtype=jnp.float32)
+    target = pointcloud.from_numpy(moved, capacity=1024, dtype=jnp.float32)
+
+    r_jnp = icp.icp_align(source, target,
+                          config=icp.ICPConfig(use_pallas_nn=False))
+    orig = nn_pallas.nearest_neighbor
+    with mock.patch.object(
+            nn_pallas, "nearest_neighbor",
+            lambda *a, **k: orig(*a, interpret=True, **k)):
+        r_pal = icp.icp_align(source, target,
+                              config=icp.ICPConfig(use_pallas_nn=True))
+
+    assert bool(r_pal.converged) == bool(r_jnp.converged)
+    np.testing.assert_allclose(np.asarray(r_pal.transform),
+                               np.asarray(r_jnp.transform),
+                               rtol=1e-4, atol=1e-5)

@@ -27,6 +27,11 @@ _HP = jax.lax.Precision.HIGHEST
 class ICPConfig(NamedTuple):
     eps: float = 1.0e-4  # reference EPS (iterative_closest_point.py:12)
     max_iterations: int = 100  # reference MAX_ITER (:13)
+    # None auto-enables the fused Pallas distance+argmin kernel
+    # (ops/nn_pallas.py) on TPU f32 — avoids materializing the [N, M]
+    # distance matrix every iteration; falls back to jnp when shapes
+    # don't tile.
+    use_pallas_nn: bool | None = None
 
 
 class ICPResult(NamedTuple):
@@ -81,14 +86,36 @@ def icp_align(source: PointCloud, target: PointCloud, guess=None,
     if guess is None:
         guess = jnp.eye(4, dtype=dtype)
 
+    use_pallas_nn = config.use_pallas_nn
+    if use_pallas_nn is None:
+        use_pallas_nn = (jax.default_backend() == "tpu"
+                         and dtype == jnp.float32)
+    if use_pallas_nn:
+        # Kernel operands (see ops/nn_pallas.py): zeroed invalid columns
+        # + |t|^2 sentinel, computed once — the target never moves.
+        tgt_zT = jnp.where(target.mask[:, None], tgt_xyz, 0.0).T
+        tsq_sent = jnp.where(target.mask,
+                             jnp.sum(tgt_zT * tgt_zT, 0), 1e30)[None]
+
+    def _associate(cur):
+        if use_pallas_nn:
+            from toyslam_tpu.ops import nn_pallas
+
+            nn = nn_pallas.nearest_neighbor(cur, tgt_zT, tsq_sent)
+            if nn is not None:
+                part, idx = nn
+                d2 = part + jnp.sum(cur * cur, 1)
+                dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+                return idx, jnp.where(source.mask, dist, 0.0)
+        return nearest_neighbor_association(
+            cur, source.mask, tgt_xyz, target.mask)
+
     def body(carry):
         T, prev_err, it, _converged = carry
         cur = jnp.matmul(
             source.xyzi[:, :3], T[:3, :3].T, precision=_HP
         ) + T[:3, 3]
-        idx, dist = nearest_neighbor_association(
-            cur, source.mask, tgt_xyz, target.mask
-        )
+        idx, dist = _associate(cur)
         matched = tgt_xyz[idx]
         w = source.mask.astype(dtype)
         err = jnp.sum(dist) / jnp.maximum(jnp.sum(w), 1.0)
