@@ -152,8 +152,10 @@ def main(argv=None):
         est = np.concatenate(
             [est_xyz, np.asarray(sol.clock_bias, np.float64)[:, None]], 1)
         enu = np.asarray(sol.enu, np.float64)
-        lla = np.stack([np.asarray(ecef_to_lla(jnp.asarray(p)))
-                        for p in est_xyz])
+        # One batched f64 conversion on the host CPU (ecef_to_lla is fully
+        # batch-capable); a per-epoch loop here costs E dispatches.
+        with jax.default_device(cpu0):
+            lla = np.asarray(ecef_to_lla(jnp.asarray(est_xyz)))
         num_sats = np.asarray(sol.num_sats)
         pdop, hdop = np.asarray(sol.pdop), np.asarray(sol.hdop)
         vdop, tdop = np.asarray(sol.vdop), np.asarray(sol.tdop)

@@ -72,7 +72,7 @@ def _timed(run, make_args, reps_inside=1):
 
     r_next = 0
 
-    def call(timed):
+    def call():
         nonlocal r_next
         a = make_args(r_next)
         r_next += 1
@@ -83,13 +83,13 @@ def _timed(run, make_args, reps_inside=1):
         dt = time.perf_counter() - t0
         return out, chk_v, dt
 
-    _, last_chk, _ = call(False)
-    _, c, _ = call(False)
+    _, last_chk, _ = call()  # warm runs (compile + cache)
+    _, c, _ = call()
     if c != last_chk:
         last_chk = c
     times, out = [], None
     for _attempt in range(12):
-        out, c, dt = call(True)
+        out, c, dt = call()
         if c == last_chk:  # stale output: the dispatch was elided
             continue
         last_chk = c

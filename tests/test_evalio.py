@@ -106,3 +106,17 @@ def test_from_transforms_velocity_duplicate_timestamps():
     # duplicated stamps carry identical poses -> velocity stays ~1 m/s
     # scale, nowhere near the 1e12-scale garbage the old jitter produced
     assert np.abs(traj.vel).max() < 10.0, traj.vel
+
+
+def test_from_transforms_velocity_out_of_order_timestamps():
+    """Regression (r3 review): an out-of-order stamp clamped by the
+    monotone cummax must still leave STRICTLY increasing coordinates —
+    jitter-before-clamp left zero spacing there and np.gradient returned
+    NaN rows."""
+    t = np.array([0.0, 0.2, 0.1, 0.3])
+    pos = np.array([[0.0, 0, 0], [0.2, 0, 0], [0.1, 0, 0], [0.3, 0, 0]])
+    T = np.tile(np.eye(4), (len(t), 1, 1))
+    T[:, :3, 3] = pos
+    traj = evalio.from_transforms(t, T)
+    assert np.isfinite(traj.vel).all(), traj.vel
+    assert np.abs(traj.vel).max() < 1e10

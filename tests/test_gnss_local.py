@@ -81,3 +81,50 @@ def test_local_enu_output_matches_frame():
     # the f64 pipeline's ENU output (same origin).
     np.testing.assert_allclose(np.asarray(sol32.enu, np.float64),
                                np.asarray(sols64.enu), atol=0.1)
+
+
+def test_local_nan_on_masked_satellite_does_not_poison_epoch():
+    """A NaN pseudorange/doppler on an already-masked satellite (the sim's
+    own convention for a PRN absent from an epoch) must not spread through
+    the dense f32 solve: NaN * 0 is NaN, so unsanitized los/weight rows
+    would poison H = Jw^T Jw, freeze the epoch at the anchor, and still
+    report valid=True. prep_epochs zeroes masked solver channels."""
+    (store, iono, tows, prns, prs, dops, cn0s, valids, ref, gt_pos,
+     gt_vel) = _make_epoch_log()
+    cfg = pipeline.EpochConfig(apply_iono_correction=False)
+
+    # Clean baseline with satellite 5 dropped by mask alone.
+    valids_drop = np.asarray(valids).copy()
+    valids_drop[:, 5] = False
+    ep_clean = local.prep_epochs(store, iono, tows, prns, prs, dops, cn0s,
+                                 jnp.asarray(valids_drop), ref, config=cfg)
+    sol_clean = jax.jit(local.solve_epochs_local, static_argnums=1)(
+        ep_clean, cfg)
+
+    # Same mask, but the masked satellite's channels are NaN (as when the
+    # PRN simply has no measurement this epoch).
+    prs_nan = np.asarray(prs).copy()
+    dops_nan = np.asarray(dops).copy()
+    prs_nan[:, 5] = np.nan
+    dops_nan[:, 5] = np.nan
+    ep_nan = local.prep_epochs(store, iono, tows, prns,
+                               jnp.asarray(prs_nan), jnp.asarray(dops_nan),
+                               cn0s, jnp.asarray(valids_drop), ref,
+                               config=cfg)
+    for name in ("los", "y", "inv_rho0", "sag_coef", "sat_vel", "z0",
+                 "weight"):
+        assert bool(np.isfinite(np.asarray(getattr(ep_nan, name))).all()), \
+            name
+    sol_nan = jax.jit(local.solve_epochs_local, static_argnums=1)(
+        ep_nan, cfg)
+
+    assert bool(np.asarray(sol_nan.valid).all())
+    np.testing.assert_allclose(np.asarray(sol_nan.delta),
+                               np.asarray(sol_clean.delta), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sol_nan.vel_ecef),
+                               np.asarray(sol_clean.vel_ecef), atol=1e-4)
+    assert bool(np.isfinite(np.asarray(sol_nan.gdop)).all())
+    # And the solve really used the remaining satellites, not the anchor.
+    est = np.asarray(ref)[None] + np.asarray(sol_nan.delta, np.float64)
+    err = np.linalg.norm(est - gt_pos, axis=1)
+    assert err.max() < 10.0

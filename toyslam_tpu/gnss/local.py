@@ -142,15 +142,35 @@ def prep_epochs(store: EphemerisStore, iono: atmosphere.IonoParams,
 
     weight = spp.elevation_weight(elevation, cn0=cn0, min_cn0=config.min_cn0)
 
+    # A NaN input channel on an already-masked satellite (e.g. PR = NaN for
+    # a PRN absent from this epoch's log, the sim's own convention) must not
+    # poison the dense solve: NaN * 0 is NaN, so one non-finite los/weight
+    # row would spread through H = Jw^T Jw for the WHOLE epoch and freeze it
+    # at the anchor while still reporting valid. Fold finiteness into the
+    # masks and zero every masked solver channel. Velocity channels get
+    # their own mask so a NaN doppler only drops the satellite from the
+    # velocity solve, matching pipeline.run_epochs.
+    pos_finite = (jnp.isfinite(y) & jnp.isfinite(rho0)
+                  & jnp.all(jnp.isfinite(los), -1) & jnp.isfinite(weight))
+    vel_finite = jnp.all(jnp.isfinite(sat["vel"]), -1) & jnp.isfinite(z0)
+    used = used & pos_finite
+    dop_used = used & vel_finite & config.use_doppler
+    zero_rows = lambda a, m: jnp.where(m[..., None], a, 0.0)
+    los = zero_rows(los, used)
+    sag_coef = zero_rows(sag_coef, used)
+    sat_vel = zero_rows(sat["vel"], dop_used)
+    weight = jnp.where(used, weight, 0.0)
+    inv_rho0 = jnp.where(used, 1.0 / rho0_safe, 0.0)
+
     R_enu = ecef_to_enu_rotation(lla0[0], lla0[1])
 
     f = lambda a: a.astype(out_dtype)
     return LocalEpochs(
         los=f(los), y=f(jnp.where(used, y, 0.0)),
-        inv_rho0=f(1.0 / rho0_safe), sag_coef=f(sag_coef),
-        sat_vel=f(sat["vel"]), z0=f(jnp.where(used, z0, 0.0)),
+        inv_rho0=f(inv_rho0), sag_coef=f(sag_coef),
+        sat_vel=f(sat_vel), z0=f(jnp.where(dop_used, z0, 0.0)),
         weight=f(weight), valid=used,
-        dop_valid=used & config.use_doppler,
+        dop_valid=dop_used,
         elevation=f(elevation), azimuth=f(azimuth), cn0=f(cn0),
         prn=prn.astype(jnp.int32), iono_delay=f(iono_delay),
         trop_delay=f(trop_delay), R_enu=f(R_enu),

@@ -118,6 +118,12 @@ def gicp_terms(params, xyz3, q3, m6, w1, block_tiles: int | None = None,
             if R_N % b == 0:
                 block_tiles = b
                 break
+    if R_N % block_tiles != 0:
+        raise ValueError(
+            f"gicp_terms: R_N={R_N} is not divisible by "
+            f"block_tiles={block_tiles}; trailing rows would be silently "
+            f"dropped from the GN sums. Pad the point count or pass a "
+            f"block_tiles that divides it.")
     tiles = R_N // block_tiles
     out = pl.pallas_call(
         _kernel,

@@ -43,10 +43,12 @@ def from_transforms(times, transforms, vel=None) -> Trajectory:
         if len(t) > 1:
             # Consistent central differences over the actual (possibly
             # irregular) sample times. np.gradient requires strictly
-            # increasing coordinates; exactly duplicated timestamps are
-            # common in real logs, so enforce a minimum spacing of 1e-9 s
-            # (a 1e-12 jitter here once produced ~1e12 velocities).
-            tt = np.maximum.accumulate(t + np.arange(len(t)) * 1e-9)
+            # increasing coordinates; real logs contain exactly duplicated
+            # AND out-of-order stamps, so clamp to monotone first and add
+            # the 1e-9 jitter after — jitter-before-clamp leaves zero
+            # spacing at an out-of-order stamp (NaN velocities), and a
+            # 1e-12 jitter once produced ~1e12 velocities.
+            tt = np.maximum.accumulate(t) + np.arange(len(t)) * 1e-9
             vel = np.gradient(pos, tt, axis=0)
         else:
             vel = np.zeros_like(pos)
