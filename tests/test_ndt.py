@@ -557,3 +557,59 @@ def test_coarse_to_fine_matches_direct(sample_pcds):
     assert np.linalg.norm(d) < 5e-3, (poses[0.0], poses[0.9])
     dR = np.abs(poses[0.0][:3, :3] - poses[0.9][:3, :3]).max()
     assert dR < 2e-3, dR
+
+
+def test_vmap_align_matches_per_lane_exactly(rng):
+    """vmap(ndt_align) must equal per-lane ndt_align bit-for-bit.
+
+    Regression for the r3 two-phase Newton loop: the regather budget was a
+    per-iteration lax.cond, which vmap lowers to a both-branches select —
+    the fleet executed the stats gather every lockstep iteration (2.1x the
+    whole batched program) while early-converged lanes' extra masked
+    iterations had to stay no-ops. This pins both the numerics and the
+    lockstep masking across lanes with different iteration counts."""
+    pts = _make_cloud_pair(rng, 2000)
+    cfg = ndt.NDTConfig(resolution=2.0, transformation_epsilon=1e-3,
+                        max_iterations=50, regather_iterations=4,
+                        frozen_linesearch=True)
+    target = pointcloud.from_numpy(pts, dtype=jnp.float32)
+    m = ndt.build_ndt_map(target, cfg)
+
+    # Lanes with very different convergence speeds: near-identity (fast),
+    # moderate, and a large offset (slow, exercises the frozen phase).
+    lane_p = np.array([
+        [0.01, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.3, -0.2, 0.1, 0.02, -0.015, 0.04],
+        [1.2, 0.8, -0.3, 0.05, 0.04, -0.08],
+    ])
+    sources, guesses = [], []
+    for p6 in lane_p:
+        T = np.asarray(se3.pose6_to_matrix(jnp.asarray(p6, jnp.float64)))
+        src = (pts - T[:3, 3]) @ T[:3, :3]
+        sources.append(np.concatenate(
+            [src, np.zeros((len(src), 1))], 1).astype(np.float32))
+        guesses.append(np.eye(4, dtype=np.float32))
+    xyzi = jnp.asarray(np.stack(sources))
+    mask = jnp.ones(xyzi.shape[:2], bool)
+    guess = jnp.asarray(np.stack(guesses))
+
+    singles = [
+        ndt.ndt_align(m, pointcloud.PointCloud(xyzi[i], mask[i]),
+                      guess[i], cfg)
+        for i in range(len(lane_p))
+    ]
+    batched = jax.jit(jax.vmap(
+        lambda x, mk, g: ndt.ndt_align(
+            m, pointcloud.PointCloud(x, mk), g, cfg)))(xyzi, mask, guess)
+
+    its = [int(s.iterations) for s in singles]
+    assert len(set(its)) >= 2, f"lanes converged uniformly: {its}"
+    # Iteration counts must match EXACTLY (the masking/lockstep claim);
+    # poses to ulp-level tolerance (batched fusions reorder f32 reductions).
+    np.testing.assert_array_equal(
+        np.asarray(batched.iterations), np.asarray(its))
+    for i, s in enumerate(singles):
+        np.testing.assert_allclose(np.asarray(batched.pose6[i]),
+                                   np.asarray(s.pose6),
+                                   rtol=1e-5, atol=1e-6)
+        assert bool(batched.converged[i]) == bool(s.converged)

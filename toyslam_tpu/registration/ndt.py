@@ -1032,64 +1032,76 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
     def newton_cond(carry):
         return ~carry["converged"]
 
-    def newton_body(carry):
-        p, score, grad, hess = carry["p"], carry["score"], carry["grad"], carry["hess"]
-        delta_p = se3.svd_solve(hess, -grad)
-        norm = jnp.linalg.norm(delta_p)
-        degenerate = (norm == 0) | ~jnp.isfinite(norm)
+    def _make_newton_body(stats_mode, frozen_stats=None):
+        """Newton body; ``stats_mode`` selects the line-search stats source:
+        "exact" (fresh gathers inside line_search), "frozen" (the
+        loop-invariant ``frozen_stats`` closure), or "gather" (regather at
+        the predicted first trial point, stats kept in the carry)."""
 
-        step_dir = delta_p / jnp.where(degenerate, 1.0, norm)
-        if turbo and config.regather_iterations == 0:
-            # Fully frozen: the p0 neighborhood serves the whole align as a
-            # loop-invariant closure — no stats in the while carry (which
-            # would copy the multi-MB buffer every iteration), no cond.
-            a_t, p_new, score_n, grad_n, hess_n = line_search(
-                p, step_dir, norm, score, grad, hess, ls_stats=stats0
-            )
-            ls_stats = None
-        elif turbo:
-            # Predict the first trial point (mirrors line_search's descent
-            # reversal + clip) and regather only for the first
-            # regather_iterations Newton steps; afterwards the previous
-            # neighborhood is carried.
-            d_phi_0 = -jnp.dot(grad, step_dir)
-            dir_eff = jnp.where(d_phi_0 > 0, -step_dir, step_dir)
-            p_t0 = p + dir_eff * jnp.clip(norm, step_min, step_max)
-            ls_stats = jax.lax.cond(
-                carry["it"] < config.regather_iterations,
-                lambda: gather_neighborhood(ndt_map, src_xyz, src_mask,
-                                            p_t0, config.resolution,
-                                            offsets),
-                lambda: carry["stats"],
-            )
-            a_t, p_new, score_n, grad_n, hess_n = line_search(
-                p, step_dir, norm, score, grad, hess, ls_stats=ls_stats
-            )
-        else:
-            ls_stats = None
-            a_t, p_new, score_n, grad_n, hess_n = line_search(
-                p, step_dir, norm, score, grad, hess
-            )
+        def newton_body(carry):
+            p, score, grad, hess = (carry["p"], carry["score"],
+                                    carry["grad"], carry["hess"])
+            delta_p = se3.svd_solve(hess, -grad)
+            norm = jnp.linalg.norm(delta_p)
+            degenerate = (norm == 0) | ~jnp.isfinite(norm)
 
-        p_out = jnp.where(degenerate, p, p_new)
-        score_out = jnp.where(degenerate, score, score_n)
-        grad_out = jnp.where(degenerate, grad, grad_n)
-        hess_out = jnp.where(degenerate, hess, hess_n)
-        it = carry["it"]
-        # Reference check order (``ndt_omp_impl.hpp:158-162``): with the
-        # pre-increment count, so the eps test is skipped on iteration 0.
-        converged = degenerate | (it > config.max_iterations) | (
-            (it >= 1) & (jnp.abs(a_t) < config.transformation_epsilon)
-        )
-        # NaN norm means failure (reference returns converged_=false)
-        failed = ~jnp.isfinite(norm)
-        out = dict(
-            p=p_out, score=score_out, grad=grad_out, hess=hess_out,
-            it=it + 1, converged=converged, failed=carry["failed"] | failed,
-        )
-        if turbo and config.regather_iterations != 0:
-            out["stats"] = ls_stats
-        return out
+            step_dir = delta_p / jnp.where(degenerate, 1.0, norm)
+            if stats_mode == "frozen":
+                # The neighborhood is a loop-invariant closure — no stats
+                # in the while carry (which would copy the multi-MB buffer
+                # every iteration), no cond.
+                a_t, p_new, score_n, grad_n, hess_n = line_search(
+                    p, step_dir, norm, score, grad, hess,
+                    ls_stats=frozen_stats
+                )
+                ls_stats = None
+            elif stats_mode == "gather":
+                # Predict the first trial point (mirrors line_search's
+                # descent reversal + clip) and regather there. The gather is
+                # UNCONDITIONAL: this body only runs inside the bounded
+                # regather loop below. (A per-iteration
+                # lax.cond(it < regather_iterations, gather, carry) here
+                # becomes a select under vmap — batched fleets then execute
+                # the multi-million-row gather on EVERY lockstep Newton
+                # iteration instead of the budgeted few; measured 7x on the
+                # 64-way fleet.)
+                d_phi_0 = -jnp.dot(grad, step_dir)
+                dir_eff = jnp.where(d_phi_0 > 0, -step_dir, step_dir)
+                p_t0 = p + dir_eff * jnp.clip(norm, step_min, step_max)
+                ls_stats = gather_neighborhood(ndt_map, src_xyz, src_mask,
+                                               p_t0, config.resolution,
+                                               offsets)
+                a_t, p_new, score_n, grad_n, hess_n = line_search(
+                    p, step_dir, norm, score, grad, hess, ls_stats=ls_stats
+                )
+            else:
+                ls_stats = None
+                a_t, p_new, score_n, grad_n, hess_n = line_search(
+                    p, step_dir, norm, score, grad, hess
+                )
+
+            p_out = jnp.where(degenerate, p, p_new)
+            score_out = jnp.where(degenerate, score, score_n)
+            grad_out = jnp.where(degenerate, grad, grad_n)
+            hess_out = jnp.where(degenerate, hess, hess_n)
+            it = carry["it"]
+            # Reference check order (``ndt_omp_impl.hpp:158-162``): with the
+            # pre-increment count, so the eps test is skipped on iteration 0.
+            converged = degenerate | (it > config.max_iterations) | (
+                (it >= 1) & (jnp.abs(a_t) < config.transformation_epsilon)
+            )
+            # NaN norm means failure (reference returns converged_=false)
+            failed = ~jnp.isfinite(norm)
+            out = dict(
+                p=p_out, score=score_out, grad=grad_out, hess=hess_out,
+                it=it + 1, converged=converged,
+                failed=carry["failed"] | failed,
+            )
+            if stats_mode == "gather":
+                out["stats"] = ls_stats
+            return out
+
+        return newton_body
 
     carry0 = dict(
         p=p0, score=score0, grad=grad0, hess=hess0,
@@ -1097,8 +1109,31 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         failed=jnp.asarray(False),
     )
     if turbo and config.regather_iterations != 0:
+        # Two-phase Newton: a bounded regather loop (fresh neighborhood at
+        # the predicted trial point each iteration, stats in the carry),
+        # then a frozen loop continuing from the LAST regathered stats as a
+        # loop-invariant closure. Identical per-lane semantics to a single
+        # loop with a regather cond, but vmap-efficient: the batched fleet
+        # pays at most regather_iterations gather executions and never
+        # copies the stats buffer in the steady-state loop.
         carry0["stats"] = stats0
-    carry = jax.lax.while_loop(newton_cond, newton_body, carry0)
+
+        def regather_cond(carry):
+            return (~carry["converged"]) & (
+                carry["it"] < config.regather_iterations)
+
+        carry1 = jax.lax.while_loop(
+            regather_cond, _make_newton_body("gather"), carry0)
+        stats_last = carry1["stats"]
+        carry = jax.lax.while_loop(
+            newton_cond, _make_newton_body("frozen", stats_last),
+            {k: v for k, v in carry1.items() if k != "stats"})
+    elif turbo:
+        carry = jax.lax.while_loop(
+            newton_cond, _make_newton_body("frozen", stats0), carry0)
+    else:
+        carry = jax.lax.while_loop(
+            newton_cond, _make_newton_body("exact"), carry0)
 
     T = se3.pose6_to_matrix(carry["p"])
     return NDTResult(
