@@ -39,16 +39,13 @@ def load_scans(source: str, capacity: int):
         xyzi, mask = loader.load_scan_stack(files, capacity)
         times = np.arange(len(files), dtype=np.float64)
         return times, xyzi, mask
-    # bag file
-    times, stacks, masks = [], [], []
-    for t, pts in rosbag.read_pointclouds(src):
-        x, m = loader.pack_scan(pts, capacity)
-        times.append(t)
-        stacks.append(x)
-        masks.append(m)
-    if not stacks:
+    # bag file: one-pass packed ingestion (native/bagpack.c when built,
+    # differential-tested Python fallback otherwise)
+    xyzi, mask, times, _counts = rosbag.pack_bag_scans(
+        src, capacity=capacity)
+    if len(times) == 0:
         raise ValueError(f"no PointCloud2 messages in {src}")
-    return (np.asarray(times), np.stack(stacks), np.stack(masks))
+    return times, xyzi, mask
 
 
 def main(argv=None):

@@ -107,7 +107,13 @@ def test_pallas_nn_path_matches_jnp(rng):
     with mock.patch.object(
             nn_pallas, "nearest_neighbor",
             lambda *a, **k: orig(*a, interpret=True, **k)):
+        # exact_nn=True advertises jnp.argmin equality.
         res_pal = gicp.gicp_align(
+            source, target,
+            config=gicp.GICPConfig(use_pallas_nn=True, exact_nn=True))
+        # The fast bf16x3 default may pick near-tied neighbors; it only
+        # promises the same pose to ~sub-mm (see GICPConfig.exact_nn).
+        res_fast = gicp.gicp_align(
             source, target, config=gicp.GICPConfig(use_pallas_nn=True))
 
     assert bool(res_pal.converged) == bool(res_jnp.converged)
@@ -116,6 +122,9 @@ def test_pallas_nn_path_matches_jnp(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(res_pal.error), float(res_jnp.error),
                                rtol=1e-4, atol=1e-7)
+    assert bool(res_fast.converged)
+    np.testing.assert_allclose(np.asarray(res_fast.transform),
+                               np.asarray(res_jnp.transform), atol=1e-3)
 
 
 def test_pallas_terms_path_matches_jnp(rng):

@@ -216,3 +216,55 @@ def test_malformed_compressed_pcd_rejected(tmp_path):
     for f in files:
         with pytest.raises(ValueError):
             pcd_io.read_pcd(f)
+
+
+def test_native_bag_pack_matches_python(tmp_path, rng):
+    """The C one-pass bag reader (native/bagpack.c) must produce exactly
+    the Python reader's packed output across none/bz2 chunk compression,
+    NaN points, capacity overflow, and off-topic messages."""
+    from toyslam_tpu.runtime import native, rosbag
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    scans = [(100.0 + 0.1 * i,
+              rng.normal(0, 10, (200 + 30 * i, 4)).astype(np.float32))
+             for i in range(4)]
+    scans[1][1][7, 2] = np.nan  # masks out, coords kept
+    cap = 256  # scan 3 has 290 points -> capacity truncation path
+
+    for comp in ("none", "bz2"):
+        bag = tmp_path / f"scans_{comp}.bag"
+        rosbag.write_bag(bag, scans, compression=comp)
+        nat = native.bag_pack_scans(bag.read_bytes(), "/velodyne_points",
+                                    len(scans), cap)
+        assert nat is not None
+        x_n, m_n, t_n, c_n, n = nat
+        assert n == len(scans)
+
+        import unittest.mock as mock
+        with mock.patch.object(native, "bag_pack_scans",
+                               lambda *a, **k: None):
+            x_p, m_p, t_p, c_p = rosbag.pack_bag_scans(bag, capacity=cap)
+
+        np.testing.assert_array_equal(m_n[:n], m_p)
+        np.testing.assert_array_equal(np.nan_to_num(x_n[:n], nan=7.0),
+                                      np.nan_to_num(x_p, nan=7.0))
+        np.testing.assert_allclose(t_n[:n], t_p, atol=1e-7)
+        np.testing.assert_array_equal(c_n[:n], c_p)
+        assert c_n[3] == cap  # truncated to capacity
+        assert not m_n[1, 7]  # NaN point masked
+
+    # Off-topic messages must be skipped by connection filtering.
+    bag2 = tmp_path / "other.bag"
+    rosbag.write_bag(bag2, scans[:2], topic="/other_points")
+    nat = native.bag_pack_scans(bag2.read_bytes(), "/velodyne_points",
+                                4, cap)
+    assert nat is not None and nat[4] == 0
+
+    # Malformed framing must be rejected, not read out of bounds.
+    good = (tmp_path / "scans_none.bag").read_bytes()
+    for blob in (good[:40], good[:-10],
+                 good[:20] + b"\xff\xff\xff\xff" + good[24:]):
+        with pytest.raises(ValueError):
+            native.bag_pack_scans(blob, "/velodyne_points", 4, cap)

@@ -203,10 +203,14 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
                                     dtype=jnp.float32), 0.1, 16384)
     eye = jnp.eye(4, dtype=jnp.float32)
 
-    cfg_pal = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True)
+    cfg_pal = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True,
+                              exact_nn=True)
+    cfg_fast = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True)
     cfg_jnp = gicp.GICPConfig(use_pallas_nn=False, use_pallas_terms=False)
     r_pal = jax.block_until_ready(jax.jit(
         gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_pal))
+    r_fast = jax.block_until_ready(jax.jit(
+        gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_fast))
     r_jnp = jax.block_until_ready(jax.jit(
         gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_jnp))
 
@@ -217,3 +221,8 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(r_pal.error), float(r_jnp.error),
                                rtol=1e-3)
+    # The fast bf16x3 default flips a few near-tied correspondences; the
+    # pose must still land within 1 mm of the exact path.
+    assert bool(r_fast.converged)
+    np.testing.assert_allclose(np.asarray(r_fast.transform),
+                               np.asarray(r_jnp.transform), atol=1e-3)

@@ -29,17 +29,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _kernel(src_ref, tgt_t_ref, tsq_ref, best_ref, idx_ref):
+def _make_kernel(exact: bool):
+  def _kernel(src_ref, tgt_t_ref, tsq_ref, best_ref, idx_ref):
     j = pl.program_id(1)
     s = src_ref[...]  # [TN, 3]
     t_t = tgt_t_ref[...]  # [3, TM]
     tsq = tsq_ref[...]  # [1, TM]
-    # HIGHEST: the default bf16 MXU passes lose ~0.4% relative on ~100 m
-    # coordinates — meters of distance error, enough to flip real
-    # correspondences (measured: GICP error 0.28 vs 0.18 on the sample
-    # pair without this).
-    d = tsq - 2.0 * jnp.dot(s, t_t, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+    if exact:
+        # HIGHEST (6 bf16 MXU passes): the default single bf16 pass
+        # loses ~0.4% relative on ~100 m coordinates — meters of
+        # distance error, enough to flip real correspondences
+        # (measured: GICP error 0.28 vs 0.18 on the sample pair).
+        st = jnp.dot(s, t_t, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    else:
+        # Manual bf16x3 split (~= Precision.HIGH, which Mosaic does not
+        # support): s.t = s_hi.t_hi + s_hi.t_lo + s_lo.t_hi, dropping
+        # the lo.lo term. 3 MXU passes instead of 6 — measured 1.49 vs
+        # 2.43 ms/call at [16k, 16k]. Residual error ~2^-16 relative on
+        # the cross term flips ~2.5% of sample-pair correspondences to
+        # a neighbor at most ~0.05 m^2 farther — harmless for GICP's
+        # plane-to-plane objective (end-to-end transform delta < 0.2 mm,
+        # tests_tpu), but NOT bit-exact: callers that advertise
+        # jnp.argmin equality (ICP) keep exact=True.
+        s_hi = s.astype(jnp.bfloat16)
+        s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_hi = t_t.astype(jnp.bfloat16)
+        t_lo = (t_t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        st = jnp.dot(s_hi, t_hi, preferred_element_type=jnp.float32)
+        st += jnp.dot(s_hi, t_lo, preferred_element_type=jnp.float32)
+        st += jnp.dot(s_lo, t_hi, preferred_element_type=jnp.float32)
+    d = tsq - 2.0 * st
     local_best = jnp.min(d, axis=1)  # [TN]
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     in_tile = jnp.min(
@@ -59,6 +79,8 @@ def _kernel(src_ref, tgt_t_ref, tsq_ref, best_ref, idx_ref):
         best_ref[...] = jnp.where(take, local_best, prev)[:, None]
         idx_ref[...] = jnp.where(take, local_arg, prev_i)[:, None]
 
+  return _kernel
+
 
 def _pick_tile(n, candidates):
     for c in candidates:
@@ -68,6 +90,7 @@ def _pick_tile(n, candidates):
 
 
 def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
+                     exact: bool = True,
                      interpret: bool = False):
     """argmin_m ( |src_n - tgt_m|^2 ) without materializing [N, M].
 
@@ -83,6 +106,11 @@ def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
     ``partial + |s|^2`` (add it in the caller — it does not affect the
     argmin). Falls back to None (caller should use the jnp path) when
     the shapes don't tile.
+
+    exact=True ranks with a full-f32 (HIGHEST) distance matmul and
+    matches jnp.argmin bit-for-bit; exact=False uses the ~1.6x faster
+    bf16x3 3-pass matmul whose ~2^-16 relative ranking error can pick a
+    near-tied neighbor (see _make_kernel).
     """
     N = src_xyz.shape[0]
     M = tgt_xyz.shape[1]
@@ -92,7 +120,7 @@ def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
         return None
     grid = (N // tn, M // tm)
     best, idx = pl.pallas_call(
-        _kernel,
+        _make_kernel(exact),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, 3), lambda i, j: (i, 0),

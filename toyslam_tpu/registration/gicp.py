@@ -49,6 +49,13 @@ class GICPConfig(NamedTuple):
     # outer iteration at sample-pair scale) and matches jnp.argmin
     # tie-breaking; any shape that doesn't tile falls back to jnp.
     use_pallas_nn: bool | None = None
+    # Exact (HIGHEST, 6 MXU passes) vs bf16x3 (3 passes, ~1.6x faster)
+    # ranking matmul inside the kernel. The fast default flips ~2.5% of
+    # correspondences to near-tied neighbors (<~0.05 m^2 farther on the
+    # sample pair); the final transform moves < 0.2 mm while the NN
+    # stage drops from 2.43 to 1.49 ms/iteration (tests_tpu re-proves
+    # both on hardware). Set True for bit-exact jnp.argmin parity.
+    exact_nn: bool = False
     # Inner Gauss-Newton normal equations: None auto-enables the fused
     # per-point terms kernel (ops/gicp_pallas.py) on TPU f32 when N is a
     # multiple of 1024 — one launch per GN step instead of ~20 small
@@ -73,15 +80,26 @@ def compute_covariances(xyz, mask, k: int, epsilon: float,
                         exact_knn: bool = False):
     """Segal regularized covariances: eigenvalues -> (eps, 1, 1)
     (``computeCovariances``, ``gicp_omp_impl.hpp:48-124``)."""
+    # exact_knn keeps full-f32 (HIGHEST) distances + a real sort; the
+    # approx default ranks with a HIGH (3-pass) matmul and bf16-stored
+    # distances — the [N, N] matrix write + the top-k read are the cost
+    # (1 GB each at 16k f32), and ~0.4% relative quantization on
+    # near-neighbor distances is noise next to approx_max_k's own ~0.95
+    # recall (the Segal (eps,1,1) recomposition only keeps the plane
+    # normal, which one or two swapped neighbors barely rotate).
+    prec = _HP if exact_knn else jax.lax.Precision.HIGH
     d = (
         jnp.sum(xyz * xyz, 1)[:, None]
-        - 2.0 * jnp.matmul(xyz, xyz.T, precision=_HP)
+        - 2.0 * jnp.matmul(xyz, xyz.T, precision=prec)
         + jnp.sum(xyz * xyz, 1)[None, :]
     )
     d = jnp.where(mask[None, :], d, _BIG)
     if exact_knn:
         negd, idx = jax.lax.top_k(-d, k)  # includes self (d=0)
-    else:
+    elif d.dtype == jnp.float32:
+        negd, idx = jax.lax.approx_max_k(-d.astype(jnp.bfloat16), k)
+        negd = negd.astype(xyz.dtype)
+    else:  # f64 oracle path: keep full-precision ranking
         negd, idx = jax.lax.approx_max_k(-d, k)
     # Sparse clouds (< k valid points) select padded sentinels as
     # neighbors; their 1e9-scale coordinates would poison the mean/cov.
@@ -173,7 +191,8 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
         if use_pallas_nn:
             from toyslam_tpu.ops import nn_pallas
 
-            nn = nn_pallas.nearest_neighbor(moved, tgt_zT, tsq_sent)
+            nn = nn_pallas.nearest_neighbor(moved, tgt_zT, tsq_sent,
+                                            exact=config.exact_nn)
         if nn is not None:
             part, nn_i = nn
             nn_d = part + jnp.sum(moved * moved, 1)

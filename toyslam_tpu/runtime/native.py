@@ -51,6 +51,13 @@ def _load():
             ctypes.c_long, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
         ]
+        lib.bag_pack_scans.restype = ctypes.c_long
+        lib.bag_pack_scans.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_char_p,
+            ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -86,6 +93,37 @@ def extract_xyzi(data: bytes, n_points: int, record_size: int,
     lib.extract_xyzi(buf, n_points, record_size, x_off, y_off, z_off, i_off,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def bag_pack_scans(buf: bytes, topic: str, max_scans: int, capacity: int):
+    """Native one-pass ROS bag parse -> packed device layout.
+
+    Parses every sensor_msgs/PointCloud2 on `topic` (none/bz2 chunks)
+    straight into the [S, capacity, 4] float32 + [S, capacity] mask
+    layout (native/bagpack.c). Returns (xyzi, mask, times [S] f64,
+    counts [S] i64, n_scans) or None when the native library is
+    unavailable (caller falls back to the Python reader). Raises on
+    malformed bags — matching the Python reader's struct errors.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    xyzi = np.empty((max_scans, capacity, 4), np.float32)
+    mask = np.zeros((max_scans, capacity), np.uint8)
+    times = np.zeros((max_scans,), np.float64)
+    counts = np.zeros((max_scans,), np.int64)
+    cbuf = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    n = lib.bag_pack_scans(
+        cbuf, len(buf), topic.encode(), max_scans, capacity,
+        xyzi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    if n < 0:
+        raise ValueError(f"malformed or unsupported ROS bag (code {n})")
+    return xyzi, mask.astype(bool), times, counts, int(n)
 
 
 def pack_scans(paths, capacity: int, n_threads: int | None = None):

@@ -161,6 +161,46 @@ def read_pointclouds(path: str | Path, topic: str = "/velodyne_points"):
             yield t, decode_pointcloud2(raw)
 
 
+def pack_bag_scans(path: str | Path, topic: str = "/velodyne_points",
+                   capacity: int = 131072, max_scans: int | None = None):
+    """One-pass bag -> packed device layout.
+
+    Parses every PointCloud2 on `topic` straight into the fixed-capacity
+    [S, capacity, 4] float32 xyzi + [S, capacity] mask stack the device
+    pipelines consume, plus [S] timestamps and raw point counts — the
+    native equivalent of the reference's rosbag::View + pcl::fromROSMsg
+    ingestion (``ndt_rosbag_mapping_node.cpp:27-78``). Uses the C reader
+    (native/bagpack.c, threadable ctypes ABI) when available; the pure
+    Python fallback below is differential-tested byte-identical.
+    """
+    from toyslam_tpu.runtime import loader, native
+
+    if max_scans is None:
+        # One cheap metadata pass: count matching messages (no decode).
+        max_scans = sum(
+            1 for _, _, typ, _ in read_messages(path, topics={topic})
+            if "PointCloud2" in typ or typ == "?")
+    buf = Path(path).read_bytes()
+    packed = native.bag_pack_scans(buf, topic, max_scans, capacity)
+    if packed is not None:
+        xyzi, mask, times, counts, n = packed
+        return (xyzi[:n], mask[:n], times[:n], counts[:n])
+    xyzi = np.full((max_scans, capacity, 4), 1.0e9, np.float32)
+    xyzi[..., 3] = 0.0
+    mask = np.zeros((max_scans, capacity), bool)
+    times = np.zeros((max_scans,), np.float64)
+    counts = np.zeros((max_scans,), np.int64)
+    n = 0
+    for t, pts in read_pointclouds(path, topic):
+        if n >= max_scans:
+            break
+        xyzi[n], mask[n] = loader.pack_scan(pts, capacity)
+        times[n] = t
+        counts[n] = min(len(pts), capacity)
+        n += 1
+    return xyzi[:n], mask[:n], times[:n], counts[:n]
+
+
 # ---------------------------------------------------------------------------
 # Minimal writer (tests / dataset repacking)
 # ---------------------------------------------------------------------------
@@ -206,8 +246,9 @@ def encode_pointcloud2(xyzi: np.ndarray, stamp_sec: float = 0.0,
 
 
 def write_bag(path: str | Path, messages, topic: str = "/velodyne_points",
-              datatype: str = "sensor_msgs/PointCloud2") -> None:
-    """Write (time_sec, xyzi) pairs as a minimal uncompressed bag."""
+              datatype: str = "sensor_msgs/PointCloud2",
+              compression: str = "none") -> None:
+    """Write (time_sec, xyzi) pairs as a minimal bag (none/bz2 chunks)."""
     chunks = b""
     conn_fields = _header_bytes({
         "topic": topic.encode(), "type": datatype.encode(),
@@ -225,9 +266,15 @@ def write_bag(path: str | Path, messages, topic: str = "/velodyne_points",
             encode_pointcloud2(xyzi, t_sec),
         )
     chunk_payload = conn_rec + msg_recs
-    chunk = _record({"op": b"\x05", "compression": b"none",
+    if compression == "bz2":
+        chunk_data = bz2.compress(chunk_payload)
+    elif compression == "none":
+        chunk_data = chunk_payload
+    else:
+        raise ValueError(f"unsupported compression: {compression}")
+    chunk = _record({"op": b"\x05", "compression": compression.encode(),
                      "size": struct.pack("<I", len(chunk_payload))},
-                    chunk_payload)
+                    chunk_data)
     bag_header = _record(
         {"op": b"\x03", "index_pos": struct.pack("<Q", 0),
          "conn_count": struct.pack("<I", 1),
