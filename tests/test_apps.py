@@ -1,0 +1,58 @@
+"""Smoke tests for the standalone demo apps that run fully on CPU.
+
+Each app is the headless user story of a reference node (see the app
+docstrings); these tests drive them exactly as a user would — as a
+subprocess CLI — at small sizes, and assert the artifacts + the app's
+own success criterion (exit code 0).
+"""
+
+import csv
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(script, *cli):
+    proc = subprocess.run(
+        [sys.executable, str(_REPO / "apps" / script), *map(str, cli)],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (
+        f"{script} exited {proc.returncode}\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
+    return proc.stdout
+
+
+def test_raim_demo_detects_and_excludes(tmp_path):
+    out = _run("raim_demo.py", tmp_path, "--epochs", 24, "--fault-every", 6)
+    assert "detection rate on faulted epochs: 100.00%" in out
+
+    rows = list(csv.DictReader(open(tmp_path / "raim.csv")))
+    assert len(rows) == 24
+    faulted = [r for r in rows if int(r["fault_sat"]) >= 0]
+    assert len(faulted) == 4
+    # Exclusion must repair the fault-epoch position solution.
+    for r in faulted:
+        assert int(r["detected"]) == 1
+        assert float(r["err_after_excl_m"]) < float(r["err_m"])
+
+    lines = [json.loads(l) for l in open(tmp_path / "ellipse.jsonl")]
+    assert len(lines) == 24
+    assert all(l["semi_major_m"] >= l["semi_minor_m"] > 0 for l in lines)
+    assert all(l["hpl_m"] > 0 and l["vpl_m"] > 0 for l in lines)
+
+
+def test_uwb_demo_fused_beats_raw(tmp_path):
+    out = _run("uwb_demo.py", tmp_path, "--duration", 20,
+               "--device", "cpu", "--seed", 1)
+    # Both EvaPos solutions written, ESKF ATE printed and under the gate.
+    assert (tmp_path / "solution_uwb.csv").exists()
+    assert (tmp_path / "solution_eskf.csv").exists()
+    anchors = json.load(open(tmp_path / "anchors.json"))["anchors"]
+    assert len(anchors) == 8
+    tri_ate = float(out.split("ATE ")[1].split(" m")[0])
+    fused_ate = float(out.split("ATE ")[2].split(" m")[0])
+    assert fused_ate < tri_ate, (tri_ate, fused_ate)
+    assert fused_ate < 0.5
