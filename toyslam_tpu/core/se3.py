@@ -327,7 +327,14 @@ def rot_mat_2d(angle):
 def angle_mod(x, zero_2_2pi=False, degree=False):
     if degree:
         x = jnp.deg2rad(x)
-    y = jnp.mod(x, 2.0 * jnp.pi) if zero_2_2pi else jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    if zero_2_2pi:
+        # mod passes denormal negative x through unchanged (x/2pi rounds
+        # to -0), and comparisons flush denormals so a where(y < 0) can't
+        # see it; maximum canonicalizes to honor the [0, 2pi) contract
+        # (found by hypothesis, tests/test_properties.py).
+        y = jnp.maximum(jnp.mod(x, 2.0 * jnp.pi), 0.0)
+    else:
+        y = jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     if degree:
         y = jnp.rad2deg(y)
     return y
