@@ -22,10 +22,11 @@ Also reported (all honest-recipe):
 - 256k-point odometry, BOTH the shipped turbo default and the
   exact-reference-control-flow config (BASELINE demands >=100 scans/s AND
   <=1e-3 m ATE; the exact config is the one the golden-parity tests pin);
+- full-bag mapping with bounded map accumulation (BASELINE config 4);
 - 64-way batched NDT odometry + ESKF fusion (BASELINE config 5);
 - flagship sliding-window smoother (window 20, f32) keyframes/s;
 - LOAM feature odometry scans/s;
-- GICP ms/align on the sample pair;
+- GICP and toy ICP ms/align on the sample pair (configs 1-2 kernels);
 - GNSS local-frame f32 epoch solve epochs/s (gnss/local.py).
 """
 
@@ -319,6 +320,46 @@ def bench_gicp(jax, jnp, t_ds, s_ds):
     return sec * 1e3  # ms per align
 
 
+def bench_icp(jax, jnp, t_ds, s_ds):
+    """BASELINE ladder config 2 kernel: toy point-to-point ICP on the
+    downsampled sample pair (the EvaPos-scored pipeline lives in
+    apps/icp_demo.py; this times its registration core)."""
+    from toyslam_tpu.registration import icp
+
+    cfg = icp.ICPConfig()
+    run = _jit_with_probe(lambda s, t, g: icp.icp_align(s, t, g, cfg))
+    eye = jnp.eye(4, dtype=jnp.float32)
+    s_np = np.asarray(s_ds.xyzi)
+
+    def args(r):
+        from toyslam_tpu.core.pointcloud import PointCloud
+
+        s_jit = PointCloud(
+            jax.device_put(jnp.asarray(s_np + np.float32(1e-3 * r))),
+            s_ds.mask)
+        return (s_jit, t_ds, eye.at[0, 3].add(1e-4 * r))
+
+    sec, out = _timed(run, args)
+    assert bool(np.isfinite(np.asarray(out.transform)).all())
+    return sec * 1e3  # ms per align
+
+
+def bench_mapping(jax, jnp, odo, scans_np, masks, S):
+    """BASELINE ladder config 4: full-bag mapping — odometry + bounded
+    global-map accumulation + 0.5 m re-filter every scan
+    (``ndt_rosbag_mapping_node.cpp:146-161``)."""
+    cfg = odo.OdometryConfig()
+    run = _jit_with_probe(
+        lambda s_, m_: odo.ndt_mapping(s_, m_, 65536, cfg))
+    sec, out = _timed(
+        run,
+        lambda r: (jax.device_put(
+            jnp.asarray(scans_np + np.float32(1e-3 * r))), masks))
+    assert bool(np.asarray(out.odometry.converged)[1:].all())
+    assert int(np.asarray(out.map_mask).sum()) > 0
+    return (S - 1) / sec  # scans per second
+
+
 def bench_gnss(jax, jnp):
     """GNSS local-frame f32 epoch solve (gnss/local.py) on-chip: f64 host
     prep linearizes about the anchor, then E epochs solve in one scan."""
@@ -430,11 +471,15 @@ def main():
     sps256_exact = bench_odometry(jax, jnp, odo, big_np, big_masks,
                                   cfg_exact, S2)
 
+    # ---- Full-bag mapping (BASELINE ladder config 4) ----
+    mapping_sps = bench_mapping(jax, jnp, odo, xyzi, masks, S)
+
     # ---- Wider model surface ----
     batch64_sps = bench_batch64_fusion(jax, jnp, target_np)
     smoother_kfps = bench_smoother(jax, jnp)
     loam_sps = bench_loam(jax, jnp)
     gicp_ms = bench_gicp(jax, jnp, t_ds, s_ds)
+    icp_ms = bench_icp(jax, jnp, t_ds, s_ds)
     gnss_eps = bench_gnss(jax, jnp)
 
     baseline_sps = 1000.0 / 34.33  # pclomp DIRECT7 8-thread amortized
@@ -447,6 +492,7 @@ def main():
         "vs_baseline": round(align_sps / baseline_sps, 2),
         "ms_per_align": round(ms_align, 3),
         "odometry_scans_per_sec_03leaf": round(odo_sps, 2),
+        "mapping_scans_per_sec_03leaf": round(mapping_sps, 2),
         "odometry_scans_per_sec_256kpt_synthetic": round(sps256, 2),
         "odometry_exact_scans_per_sec_256kpt_synthetic":
             round(sps256_exact, 2),
@@ -454,6 +500,7 @@ def main():
         "smoother_keyframes_per_sec_w20_f32": round(smoother_kfps, 2),
         "loam_scans_per_sec": round(loam_sps, 2),
         "gicp_ms_per_align": round(gicp_ms, 3),
+        "icp_ms_per_align": round(icp_ms, 3),
         "gnss_epochs_per_sec_f32": round(gnss_eps, 2),
         "backend": jax.default_backend(),
     }))
