@@ -267,6 +267,80 @@ def test_online_odometry_step_matches_scan(rng):
                                atol=1e-5)
 
 
+def _mapping_fixture(rng):
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_ndt import _make_cloud_pair
+
+    from toyslam_tpu.pipelines import odometry as odo
+    from toyslam_tpu.registration import ndt as ndtm
+
+    base = _make_cloud_pair(rng, 600)
+    S, cap = 5, 2048
+    xyzi = np.full((S, cap, 4), 1e9, np.float32)
+    mask = np.zeros((S, cap), bool)
+    for i in range(S):
+        pts = base + np.array([0.2 * i, 0.05 * i, 0.0])
+        xyzi[i, :len(pts), :3] = pts
+        mask[i, :len(pts)] = True
+    cfg = odo.OdometryConfig(
+        ndt=ndtm.NDTConfig(resolution=2.0, max_iterations=10,
+                           map_capacity=2048, grid_capacity=1 << 14),
+        scan_leaf=0.5, work_capacity=1024)
+    return odo, cfg, jnp.asarray(xyzi), jnp.asarray(mask), S
+
+
+def test_online_mapping_step_matches_batch(rng):
+    """Chained mapping_step must reproduce ndt_mapping: same poses AND
+    the same accumulated global map (identical voxel occupancy; means to
+    f32 reduction-order tolerance — scan-fused vs eager steps reorder
+    the merge sums)."""
+    odo, cfg, xyzi, mask, S = _mapping_fixture(rng)
+    M = 4096
+    full = odo.ndt_mapping(xyzi, mask, M, cfg)
+
+    st = odo.mapping_init(xyzi[0], mask[0], M, cfg)
+    poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, S):
+        st, out = odo.mapping_step(st, xyzi[i], mask[i], cfg)
+        poses.append(np.asarray(out[0]))
+    np.testing.assert_allclose(np.stack(poses),
+                               np.asarray(full.odometry.poses), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st.map_cloud.mask),
+                                  np.asarray(full.map_mask))
+    np.testing.assert_allclose(
+        np.asarray(st.map_cloud.xyzi)[np.asarray(st.map_cloud.mask)],
+        np.asarray(full.map_xyzi)[np.asarray(full.map_mask)], atol=1e-3)
+
+
+def test_online_mapping_checkpoint_resume(rng, tmp_path):
+    """MappingState is a pure pytree: snapshot mid-bag with
+    utils/checkpoint, restore, and finish — bit-identical to the
+    uninterrupted run (the resume story for the headline pipeline)."""
+    from toyslam_tpu.utils import checkpoint
+
+    odo, cfg, xyzi, mask, S = _mapping_fixture(rng)
+    M = 4096
+
+    st = odo.mapping_init(xyzi[0], mask[0], M, cfg)
+    states = [st]
+    for i in range(1, S):
+        st, _ = odo.mapping_step(st, xyzi[i], mask[i], cfg)
+        states.append(st)
+
+    mid = states[2]
+    checkpoint.save_checkpoint(tmp_path / "map.npz", mid)
+    resumed = checkpoint.load_checkpoint(tmp_path / "map.npz", mid)
+    for i in range(3, S):
+        resumed, _ = odo.mapping_step(resumed, xyzi[i], mask[i], cfg)
+
+    final = states[-1]
+    np.testing.assert_array_equal(np.asarray(resumed.map_cloud.xyzi),
+                                  np.asarray(final.map_cloud.xyzi))
+    np.testing.assert_array_equal(np.asarray(resumed.odometry.pose),
+                                  np.asarray(final.odometry.pose))
+
+
 def test_figure8_imu_fields_consistent():
     """figure8 now carries acc/quat/gyro (reference: teleop figure-8 driven
     through the IMU sim); the analytic derivatives must match finite

@@ -169,6 +169,26 @@ class MappingOutput(NamedTuple):
     map_mask: jax.Array  # [M]
 
 
+def _merge_into_map(map_cloud: PointCloud, cur_ds: PointCloud, pose,
+                    config: "OdometryConfig") -> PointCloud:
+    """Transform the downsampled scan into the world frame, merge into the
+    fixed-capacity map and re-apply the map voxel filter (the reference's
+    unbounded concat+refilter, ``ndt_rosbag_mapping_node.cpp:146-161``,
+    made memory-static). Capacity = map_cloud's own (static) row count."""
+    world_xyz = jnp.matmul(
+        cur_ds.xyzi[:, :3], pose[:3, :3].T, precision=_HP) + pose[:3, 3]
+    world_xyz = jnp.where(cur_ds.mask[:, None], world_xyz,
+                          cur_ds.xyzi[:, :3])
+    merged = PointCloud(
+        jnp.concatenate(
+            [map_cloud.xyzi,
+             jnp.concatenate([world_xyz, cur_ds.xyzi[:, 3:4]], 1)], 0),
+        jnp.concatenate([map_cloud.mask, cur_ds.mask], 0),
+    )
+    return voxel_downsample(merged, config.map_leaf,
+                            map_cloud.xyzi.shape[0])
+
+
 def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
                 config: OdometryConfig = OdometryConfig()) -> MappingOutput:
     """Odometry + bounded global-map accumulation.
@@ -196,20 +216,7 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
         odo_carry, map_cloud = carry
         odo_carry_new, out = step_odo(odo_carry, scan)
         cur_ds, pose_new, _T = odo_carry_new
-
-        # Transform scan into world and merge into the bounded map.
-        world_xyz = jnp.matmul(
-            cur_ds.xyzi[:, :3], pose_new[:3, :3].T, precision=_HP
-        ) + pose_new[:3, 3]
-        world_xyz = jnp.where(cur_ds.mask[:, None], world_xyz, cur_ds.xyzi[:, :3])
-        world = PointCloud(
-            jnp.concatenate([world_xyz, cur_ds.xyzi[:, 3:4]], 1), cur_ds.mask
-        )
-        merged = PointCloud(
-            jnp.concatenate([map_cloud.xyzi, world.xyzi], 0),
-            jnp.concatenate([map_cloud.mask, world.mask], 0),
-        )
-        new_map = voxel_downsample(merged, config.map_leaf, map_capacity)
+        new_map = _merge_into_map(map_cloud, cur_ds, pose_new, config)
         return (odo_carry_new, new_map), out
 
     carry0 = ((first_ds, eye, eye), map0)
@@ -255,3 +262,35 @@ def odometry_step(state: OdometryState, xyzi, mask,
                                     (xyzi, mask))
     prev_ds, pose, prev_T = carry
     return OdometryState(prev_ds=prev_ds, pose=pose, prev_T=prev_T), out
+
+
+class MappingState(NamedTuple):
+    """Carry for online (scan-at-a-time) mapping — odometry plus the
+    bounded global map, i.e. the full streaming loop of
+    ``ndt_omp_mapping_node`` (dir watch -> align -> accumulate map ->
+    publish, ``:72-108,195-211``). A pure pytree: snapshot it with
+    ``utils/checkpoint`` and resume bit-identically mid-bag."""
+
+    odometry: OdometryState
+    map_cloud: PointCloud
+
+
+def mapping_init(first_xyzi, first_mask, map_capacity: int,
+                 config: OdometryConfig = OdometryConfig()) -> MappingState:
+    from toyslam_tpu.core.pointcloud import pad_to
+
+    odo = odometry_init(first_xyzi, first_mask, config)
+    map0 = pad_to(voxel_downsample(odo.prev_ds, config.map_leaf),
+                  map_capacity)
+    return MappingState(odometry=odo, map_cloud=map0)
+
+
+def mapping_step(state: MappingState, xyzi, mask,
+                 config: OdometryConfig = OdometryConfig()):
+    """One scan of online mapping; chained steps match ``ndt_mapping``
+    exactly (``test_online_mapping_step_matches_batch``). Returns
+    (new_state, (pose, pairwise_T, converged, iterations, prob))."""
+    odo_state, out = odometry_step(state.odometry, xyzi, mask, config)
+    new_map = _merge_into_map(state.map_cloud, odo_state.prev_ds,
+                              odo_state.pose, config)
+    return MappingState(odometry=odo_state, map_cloud=new_map), out
