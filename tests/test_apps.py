@@ -44,6 +44,23 @@ def test_raim_demo_detects_and_excludes(tmp_path):
     assert all(l["hpl_m"] > 0 and l["vpl_m"] > 0 for l in lines)
 
 
+def test_urban_demo_raim_flags_nlos(tmp_path):
+    out = _run("urban_demo.py", tmp_path, "--epochs", 16)
+    assert "RAIM flags" in out
+
+    lines = [json.loads(l) for l in open(tmp_path / "skyplot.jsonl")]
+    assert len(lines) == 16
+    classes = {s["class"] for l in lines for s in l["sats"]}
+    assert classes == {"los", "blocked", "multipath"}
+    assert all("pdop" in l and "hdop" in l for l in lines)
+
+    rows = list(csv.DictReader(open(tmp_path / "pseudoranges.csv")))
+    assert len(rows) == 16 * 24
+    # Atmosphere is on by default: usable satellites carry real budgets.
+    used = [r for r in rows if r["usable"] == "1"]
+    assert used and all(float(r["tropo_m"]) > 0 for r in used)
+
+
 def test_uwb_demo_fused_beats_raw(tmp_path):
     out = _run("uwb_demo.py", tmp_path, "--duration", 20,
                "--device", "cpu", "--seed", 1)
