@@ -17,6 +17,7 @@ golden align pose, f32 window step, vmapped batch align).
 """
 
 import os
+import subprocess
 import sys
 
 import pytest
@@ -28,10 +29,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 import jax  # noqa: E402
 
 
+def _probe_backend(timeout_s: float = 180.0) -> str:
+    """Resolve the default backend in a SUBPROCESS with a deadline.
+
+    ``jax.default_backend()`` in this process would block forever when the
+    axon relay is down (the PJRT client retries the pool connection
+    indefinitely — observed r3); probing out-of-process turns a dead
+    tunnel into a clean skip instead of a hung pytest."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return "unreachable"
+    if out.returncode != 0 or not out.stdout.strip():
+        return "error"
+    return out.stdout.strip().splitlines()[-1]
+
+
 def pytest_collection_modifyitems(config, items):
-    if jax.default_backend() == "tpu":
+    if not items:
         return
-    skip = pytest.mark.skip(reason="tests_tpu/ requires a real TPU backend")
+    backend = _probe_backend()
+    if backend == "tpu":
+        return
+    skip = pytest.mark.skip(
+        reason=f"tests_tpu/ requires a real TPU backend (probe: {backend})")
     for item in items:
         item.add_marker(skip)
 
