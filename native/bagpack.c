@@ -148,8 +148,12 @@ static long decode_cloud(const uint8_t *raw, long len, long capacity,
     if (off_i > max_off) max_off = off_i;
     if (max_off + 4 > point_step) return -1;
 
+    /* Division-form bound: n * point_step can wrap int64 for crafted
+     * height/width/point_step (e.g. n = 2^33, step = 2^31 wraps to 0),
+     * which would pass a product check and send the decode loop far out
+     * of bounds. point_step >= 4 was checked above. */
     long n = (long)(height * width);
-    if (n < 0 || n * point_step > dlen) return -1;
+    if (n < 0 || n > dlen / point_step) return -1;
 
     for (long i = 0; i < capacity; ++i) {
         out[i * 4 + 0] = PAD_COORD;

@@ -68,6 +68,40 @@ def test_fuzz_native_bag_parser(bag_bytes):
     assert failed > 0 and parsed > 0, (parsed, failed)
 
 
+def test_bag_parser_rejects_overflowing_point_count(tmp_path):
+    """height * width * point_step can wrap int64 for crafted headers
+    (n = 2^33, step = 2^31 multiplies to exactly 2^64 -> 0), which a
+    product-form bounds check would accept and then read ~GBs out of
+    bounds. The parser must bound with division and reject."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    pts = rng.normal(0, 5, (8, 4)).astype(np.float32)
+    p = tmp_path / "evil.bag"
+    rosbag.write_bag(p, [(1.0, pts)])
+    blob = bytearray(p.read_bytes())
+
+    # Patch height/width and point_step inside the (uncompressed) chunk:
+    # locate the encoded message by its unique frame_id length prefix.
+    import struct
+    anchor = struct.pack("<I", 8) + b"velodyne"
+    at = bytes(blob).find(anchor)
+    assert at > 0
+    hw = at + len(anchor)  # height u32, width u32
+    blob[hw:hw + 8] = struct.pack("<II", 1 << 17, 1 << 16)  # n = 2^33
+    # fields block: count u32 + 4 entries (len+name+9); then endian u8,
+    # point_step u32
+    ps = hw + 8 + 4
+    for name in (b"x", b"y", b"z", b"intensity"):
+        ps += 4 + len(name) + 9
+    ps += 1
+    assert struct.unpack_from("<I", blob, ps)[0] == 16  # sanity: point_step
+    blob[ps:ps + 4] = struct.pack("<I", 1 << 31)
+
+    with pytest.raises(ValueError):
+        native.bag_pack_scans(bytes(blob), "/velodyne_points", 4, 64)
+
+
 def test_fuzz_python_bag_parser(bag_bytes, tmp_path):
     """The Python fallback must fail loudly too (struct/ValueError), so
     the differential pair keeps identical accept/reject behavior classes."""
