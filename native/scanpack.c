@@ -97,12 +97,21 @@ static int parse_header(const uint8_t *buf, long len, PcdHeader *h) {
     }
     if (h->n_points < 0 || h->n_fields == 0 || h->header_end == 0)
         return -1;
+    /* Hard bounds on everything atol() pulled from the header: sizes,
+     * counts, and n_points multiply into offsets and payload extents
+     * below — unbounded values wrap long and turn the bounds checks
+     * into no-ops (OOB reads). 2^31 points x 2^20-byte records stays
+     * far from the int64 edge. */
+    if (h->n_points > (1L << 31)) return -1;
     long off = 0;
     for (long i = 0; i < h->n_fields; ++i) {
+        if (h->sizes[i] < 1 || h->sizes[i] > 8) return -1;
+        if (counts[i] < 1 || counts[i] > 1024) return -1;
         h->offsets[i] = off;
         off += h->sizes[i] * counts[i];
     }
     h->record_size = off;
+    if (h->record_size > (1L << 20)) return -1;
     if (h->x < 0 || h->y < 0 || h->z < 0) return -1;
     return 0;
 }

@@ -117,6 +117,33 @@ def test_fuzz_python_bag_parser(bag_bytes, tmp_path):
             pass
 
 
+def test_pcd_parser_rejects_unbounded_header_fields(tmp_path):
+    """SIZE/COUNT/POINTS come from atol() on attacker text; unbounded
+    values wrap the record-size/extent arithmetic and defeat the bounds
+    checks. Each crafted header must be rejected (None), not crash."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    body = b"\x00" * 64
+    evil_headers = [
+        # COUNT wraps record_size
+        "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+        "COUNT 4611686018427387904 1 1\nPOINTS 4\nDATA binary\n",
+        # SIZE wraps record_size
+        "FIELDS x y z\nSIZE 4611686018427387904 4 4\nTYPE F F F\n"
+        "COUNT 1 1 1\nPOINTS 4\nDATA binary\n",
+        # POINTS * record_size wraps int64 (2^33 pts x 2^31-ish record)
+        "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+        "COUNT 1024 1024 1024\nPOINTS 8589934592\nDATA binary\n",
+        # binary_compressed with wrapping column extents
+        "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        "POINTS 2305843009213693952\nDATA binary_compressed\n",
+    ]
+    for i, hdr in enumerate(evil_headers):
+        p = tmp_path / f"evil{i}.pcd"
+        p.write_bytes(hdr.encode() + body)
+        assert native.pack_scans([p], capacity=64) is None, hdr
+
+
 def test_fuzz_native_pcd_parser(tmp_path):
     from toyslam_tpu.core import pcd_io
 
