@@ -102,3 +102,23 @@ def test_icp_pallas_nn_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(r_pal.transform),
                                np.asarray(r_jnp.transform),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_registration_degenerate_inputs_stay_finite(rng):
+    """Empty source or empty target must never produce NaN transforms in
+    ICP or GICP — pipelines gate on convergence/error signals, so the
+    failure contract is: finite transform, error flags the uselessness
+    (0 matched points or sentinel-scale distances)."""
+    from toyslam_tpu.registration import gicp
+
+    pts = rng.uniform(-5, 5, (512, 4)).astype(np.float32)
+    tgt = pointcloud.from_numpy(pts, capacity=1024, dtype=jnp.float32)
+    empty = pointcloud.PointCloud(
+        jnp.full((1024, 4), 1e9, jnp.float32).at[:, 3].set(0.0),
+        jnp.zeros(1024, bool))
+
+    for src, dst in ((empty, tgt), (tgt, empty), (empty, empty)):
+        r = icp.icp_align(src, dst)
+        assert bool(jnp.isfinite(r.transform).all()), (r.transform,)
+        g = gicp.gicp_align(src, dst)
+        assert bool(jnp.isfinite(g.transform).all()), (g.transform,)
