@@ -203,12 +203,15 @@ static int conns_note(Conns *c, long id, int match) {
     return 0;
 }
 
-static void handle_connection(Conns *conns, const uint8_t *hdr, long hlen,
-                              const uint8_t *data, long dlen,
-                              const char *topic) {
+/* Returns 0, or -1 when the connection table cannot record the id (id
+ * out of the sane range or allocation failure) — callers treat that as
+ * malformed input rather than silently dropping the topic's messages. */
+static int handle_connection(Conns *conns, const uint8_t *hdr, long hlen,
+                             const uint8_t *data, long dlen,
+                             const char *topic) {
     Field fconn, ftopic, ftype;
     if (find_field(hdr, hlen, "conn", &fconn) != 0 || fconn.len != 4)
-        return;
+        return 0; /* not a well-formed connection record: ignore */
     long id = (long)rd_u32(fconn.val);
     int match = 2;
     if (find_field(hdr, hlen, "topic", &ftopic) == 0) {
@@ -226,7 +229,7 @@ static void handle_connection(Conns *conns, const uint8_t *hdr, long hlen,
             }
         }
     }
-    conns_note(conns, id, match);
+    return conns_note(conns, id, match);
 }
 
 /* Process a flat record stream (a decompressed chunk payload or the
@@ -249,7 +252,8 @@ static int handle_stream(const uint8_t *buf, long len, Conns *conns,
         if (frc != 0 || fop.len < 1) continue;
         int op = fop.val[0];
         if (op == 0x07) {
-            handle_connection(conns, hdr, hlen, data, dlen, topic);
+            if (handle_connection(conns, hdr, hlen, data, dlen, topic) != 0)
+                return -1;
         } else if (op == 0x02) {
             Field fconn, ftime;
             if (find_field(hdr, hlen, "conn", &fconn) != 0 ||
@@ -259,20 +263,22 @@ static int handle_stream(const uint8_t *buf, long len, Conns *conns,
             if (id < 0 || id >= conns->cap || conns->match[id] != 1)
                 continue;
             if (*n_scans >= max_scans) continue;
-            double t = 0.0;
-            if (find_field(hdr, hlen, "time", &ftime) == 0 &&
-                ftime.len == 8) {
-                /* secs u32 LE then nsecs u32 LE */
-                t = (double)rd_u32(ftime.val) +
-                    (double)rd_u32(ftime.val + 4) * 1e-9;
-            }
             long s = *n_scans;
-            long npts = decode_cloud(
-                data, dlen, capacity,
-                out_xyzi + s * capacity * 4, out_mask + s * capacity);
-            if (npts < 0) return -1;
-            out_t[s] = t;
-            out_npts[s] = npts;
+            if (out_xyzi) { /* NULL = count-only pass: no decode */
+                double t = 0.0;
+                if (find_field(hdr, hlen, "time", &ftime) == 0 &&
+                    ftime.len == 8) {
+                    /* secs u32 LE then nsecs u32 LE */
+                    t = (double)rd_u32(ftime.val) +
+                        (double)rd_u32(ftime.val + 4) * 1e-9;
+                }
+                long npts = decode_cloud(
+                    data, dlen, capacity,
+                    out_xyzi + s * capacity * 4, out_mask + s * capacity);
+                if (npts < 0) return -1;
+                out_t[s] = t;
+                out_npts[s] = npts;
+            }
             *n_scans = s + 1;
         }
     }
@@ -281,8 +287,11 @@ static int handle_stream(const uint8_t *buf, long len, Conns *conns,
 
 /* Parse a whole in-memory ROS bag; pack every PointCloud2 on `topic`
  * into the [max_scans, capacity, 4] xyzi + [max_scans, capacity] mask +
- * [max_scans] time/count buffers. Returns the number of scans packed,
- * or -1 malformed input, -2 unsupported chunk compression. */
+ * [max_scans] time/count buffers. out_xyzi == NULL runs a count-only
+ * pass (framing + connection filtering, no cloud decode; the other out
+ * pointers are ignored) so the caller can size buffers in one native
+ * pre-pass. Returns the number of scans packed (or counted), -1 on
+ * malformed input, -2 on unsupported chunk compression. */
 long bag_pack_scans(const uint8_t *buf, long len, const char *topic,
                     long max_scans, long capacity, float *out_xyzi,
                     uint8_t *out_mask, double *out_t, long *out_npts) {
@@ -352,7 +361,11 @@ long bag_pack_scans(const uint8_t *buf, long len, const char *topic,
                                    out_npts, &n_scans);
             }
         } else if (op == 0x07) {
-            handle_connection(&conns, hdr, hlen, data, dlen, topic);
+            if (handle_connection(&conns, hdr, hlen, data, dlen,
+                                  topic) != 0) {
+                rc = -1;
+                break;
+            }
         } else if (op == 0x02) {
             /* Stray message outside chunks (the Python reader skips
              * these too — connections may not be known yet). */

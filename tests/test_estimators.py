@@ -237,7 +237,8 @@ def test_bias_change_cache_invalidation():
 def test_online_odometry_step_matches_scan(rng):
     """Streaming odometry_step must produce the same poses as the scan."""
     import sys
-    sys.path.insert(0, "/root/repo/tests")
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
     from toyslam_tpu.pipelines import odometry as odo
     from toyslam_tpu.registration import ndt as ndtm
     from test_ndt import _make_cloud_pair
@@ -269,7 +270,8 @@ def test_online_odometry_step_matches_scan(rng):
 
 def _mapping_fixture(rng):
     import sys
-    sys.path.insert(0, "/root/repo/tests")
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_ndt import _make_cloud_pair
 
     from toyslam_tpu.pipelines import odometry as odo

@@ -106,7 +106,7 @@ def test_angle_mod_idempotent_and_ranged(x):
     # congruence mod 2pi
     np.testing.assert_allclose(np.sin(float(m)), np.sin(float(x)), atol=1e-9)
     m2 = se3.angle_mod(x, zero_2_2pi=True)
-    assert 0.0 <= float(m2) <= 2 * np.pi
+    assert 0.0 <= float(m2) < 2 * np.pi  # half-open: mod(-eps) rounds to 2pi
 
 
 @given(st.floats(-85.0, 85.0), st.floats(-179.9, 179.9),

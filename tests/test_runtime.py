@@ -236,7 +236,9 @@ def test_native_bag_pack_matches_python(tmp_path, rng):
     for comp in ("none", "bz2"):
         bag = tmp_path / f"scans_{comp}.bag"
         rosbag.write_bag(bag, scans, compression=comp)
-        nat = native.bag_pack_scans(bag.read_bytes(), "/velodyne_points",
+        blob = bag.read_bytes()
+        assert native.bag_count_scans(blob, "/velodyne_points") == len(scans)
+        nat = native.bag_pack_scans(blob, "/velodyne_points",
                                     len(scans), cap)
         assert nat is not None
         x_n, m_n, t_n, c_n, n = nat

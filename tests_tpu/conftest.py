@@ -49,14 +49,20 @@ def _probe_backend(timeout_s: float = 180.0) -> str:
 
 
 def pytest_collection_modifyitems(config, items):
-    if not items:
+    # Collection hooks fire session-wide, not per-directory: in a combined
+    # `pytest tests tests_tpu` run this conftest sees the CPU suite's
+    # items too and must only mark its own.
+    here = os.path.dirname(os.path.abspath(__file__))
+    ours = [it for it in items
+            if str(getattr(it, "path", "")).startswith(here)]
+    if not ours:
         return
     backend = _probe_backend()
     if backend == "tpu":
         return
     skip = pytest.mark.skip(
         reason=f"tests_tpu/ requires a real TPU backend (probe: {backend})")
-    for item in items:
+    for item in ours:
         item.add_marker(skip)
 
 

@@ -328,11 +328,14 @@ def angle_mod(x, zero_2_2pi=False, degree=False):
     if degree:
         x = jnp.deg2rad(x)
     if zero_2_2pi:
-        # mod passes denormal negative x through unchanged (x/2pi rounds
-        # to -0), and comparisons flush denormals so a where(y < 0) can't
-        # see it; maximum canonicalizes to honor the [0, 2pi) contract
-        # (found by hypothesis, tests/test_properties.py).
+        # Two float edges break the [0, 2pi) contract (found by
+        # hypothesis + review, tests/test_properties.py): mod passes
+        # denormal negative x through unchanged (x/2pi rounds to -0, and
+        # comparisons flush denormals so a where(y < 0) can't see it —
+        # maximum canonicalizes), and mod(-eps, 2pi) = 2pi - eps rounds
+        # to exactly 2pi for tiny eps (wrap back to 0).
         y = jnp.maximum(jnp.mod(x, 2.0 * jnp.pi), 0.0)
+        y = jnp.where(y >= 2.0 * jnp.pi, 0.0, y)
     else:
         y = jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     if degree:

@@ -52,8 +52,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
         ]
         lib.bag_pack_scans.restype = ctypes.c_long
+        # First arg is c_char_p so a Python bytes object passes zero-copy
+        # (the C side only reads it); the out pointers accept None for
+        # the count-only pass.
         lib.bag_pack_scans.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
             ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_long),
@@ -114,9 +117,8 @@ def bag_pack_scans(buf: bytes, topic: str, max_scans: int, capacity: int):
     mask = np.zeros((max_scans, capacity), np.uint8)
     times = np.zeros((max_scans,), np.float64)
     counts = np.zeros((max_scans,), np.int64)
-    cbuf = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
     n = lib.bag_pack_scans(
-        cbuf, len(buf), topic.encode(), max_scans, capacity,
+        buf, len(buf), topic.encode(), max_scans, capacity,
         xyzi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -124,6 +126,21 @@ def bag_pack_scans(buf: bytes, topic: str, max_scans: int, capacity: int):
     if n < 0:
         raise ValueError(f"malformed or unsupported ROS bag (code {n})")
     return xyzi, mask.astype(bool), times, counts, int(n)
+
+
+def bag_count_scans(buf: bytes, topic: str):
+    """Native count-only pass: matching PointCloud2 messages on `topic`
+    (framing + connection filtering, no decode — used to size the packed
+    buffers before the real parse). Returns the count, or None when the
+    native library is unavailable. Raises on malformed bags."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.bag_pack_scans(buf, len(buf), topic.encode(),
+                           (1 << 62), 0, None, None, None, None)
+    if n < 0:
+        raise ValueError(f"malformed or unsupported ROS bag (code {n})")
+    return int(n)
 
 
 def pack_scans(paths, capacity: int, n_threads: int | None = None):

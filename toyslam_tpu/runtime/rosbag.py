@@ -172,16 +172,26 @@ def pack_bag_scans(path: str | Path, topic: str = "/velodyne_points",
     ingestion (``ndt_rosbag_mapping_node.cpp:27-78``). Uses the C reader
     (native/bagpack.c, threadable ctypes ABI) when available; the pure
     Python fallback below is differential-tested byte-identical.
+
+    With ``max_scans=None`` the buffers are sized by a count-only native
+    pre-pass (framing + connection filtering, no cloud decode, no Python
+    per-message objects); pass ``max_scans`` explicitly to make the
+    ingestion a single pass over the (already in-memory) bytes.
     """
     from toyslam_tpu.runtime import loader, native
 
+    buf = Path(path).read_bytes() if native.available() else None
     if max_scans is None:
-        # One cheap metadata pass: count matching messages (no decode).
-        max_scans = sum(
+        # Count-only pre-pass to size the packed buffers: native when
+        # available (framing-only, no decode, no Python per-message
+        # objects), else the Python reader's metadata iteration.
+        counted = native.bag_count_scans(buf, topic) if buf is not None \
+            else None
+        max_scans = counted if counted is not None else sum(
             1 for _, _, typ, _ in read_messages(path, topics={topic})
             if "PointCloud2" in typ or typ == "?")
-    buf = Path(path).read_bytes()
-    packed = native.bag_pack_scans(buf, topic, max_scans, capacity)
+    packed = native.bag_pack_scans(buf, topic, max_scans, capacity) \
+        if buf is not None else None
     if packed is not None:
         xyzi, mask, times, counts, n = packed
         return (xyzi[:n], mask[:n], times[:n], counts[:n])
