@@ -57,9 +57,17 @@ def main(argv=None):
     ap.add_argument("--capacity", type=int, default=131072)
     ap.add_argument("--map-capacity", type=int, default=65536)
     ap.add_argument("--config", default=None, help="JSON config file")
+    ap.add_argument("--device", choices=("auto", "tpu", "cpu"),
+                    default="auto",
+                    help="auto uses the environment's default backend "
+                         "(the TPU chip in production); cpu pins the "
+                         "host backend")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from toyslam_tpu import config as cfgmod
