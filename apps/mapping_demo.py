@@ -62,6 +62,16 @@ def main(argv=None):
                     help="auto uses the environment's default backend "
                          "(the TPU chip in production); cpu pins the "
                          "host backend")
+    ap.add_argument("--stream", action="store_true",
+                    help="online mode: jitted mapping_step fed "
+                         "scan-at-a-time (the dir-watching node's loop) "
+                         "instead of the one-dispatch batch scan")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="stream mode: snapshot the mapping state every "
+                         "N scans (mapping_state.npz in out_dir)")
+    ap.add_argument("--resume", action="store_true",
+                    help="stream mode: continue from out_dir/"
+                         "mapping_state.npz if present")
     args = ap.parse_args(argv)
 
     import jax
@@ -83,10 +93,67 @@ def main(argv=None):
         cfg = odo.OdometryConfig()._replace(
             scan_leaf=args.leaf, map_leaf=args.map_leaf)
 
-    run = jax.jit(odo.ndt_mapping, static_argnums=(2, 3))
     t0 = time.perf_counter()
-    out = run(jnp.asarray(xyzi), jnp.asarray(mask), args.map_capacity, cfg)
-    jax.block_until_ready(out)
+    if args.stream:
+        # Online mode (the dir-watching node's loop): one jitted
+        # mapping_step fed scan-at-a-time, periodic pytree snapshots —
+        # kill the process mid-bag and rerun to resume from the last
+        # checkpoint (bit-identical continuation,
+        # test_online_mapping_checkpoint_resume).
+        from toyslam_tpu.utils import checkpoint
+
+        Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+        ckpt = Path(args.out_dir) / "mapping_state.npz"
+        step = jax.jit(odo.mapping_step, static_argnums=3)
+        state = odo.mapping_init(jnp.asarray(xyzi[0]), jnp.asarray(mask[0]),
+                                 args.map_capacity, cfg)
+        S = len(times)
+        # Fixed-shape snapshot: state + next scan index + the per-scan
+        # output buffers (load_checkpoint requires template-shape match).
+        poses_all = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        conv_all = np.ones((S,), bool)
+        iters_all = np.zeros((S,), np.int32)
+        probs_all = np.zeros((S,), np.float32)
+        start = 1
+        if args.resume and ckpt.exists():
+            snap = (state, np.int64(0), poses_all, conv_all, iters_all,
+                    probs_all)
+            (state, start, poses_all, conv_all, iters_all,
+             probs_all) = checkpoint.load_checkpoint(ckpt, snap)
+            start = int(start)
+            poses_all, conv_all, iters_all, probs_all = map(
+                np.asarray, (poses_all, conv_all, iters_all, probs_all))
+            print(f"resumed from {ckpt} at scan {start}")
+        for i in range(start, S):
+            state, o = step(state, jnp.asarray(xyzi[i]),
+                            jnp.asarray(mask[i]), cfg)
+            poses_all[i] = np.asarray(o[0])
+            conv_all[i] = bool(o[2])
+            iters_all[i] = int(o[3])
+            probs_all[i] = float(o[4])
+            if args.checkpoint_every and i % args.checkpoint_every == 0:
+                jax.block_until_ready(state)
+                checkpoint.save_checkpoint(
+                    ckpt, (state, np.int64(i + 1), poses_all, conv_all,
+                           iters_all, probs_all))
+        jax.block_until_ready(state)
+
+        class _Out:  # match the batch-path result surface below
+            pass
+
+        out = _Out()
+        out.map_xyzi = state.map_cloud.xyzi
+        out.map_mask = state.map_cloud.mask
+        out.odometry = _Out()
+        out.odometry.poses = poses_all
+        out.odometry.converged = conv_all
+        out.odometry.iterations = iters_all
+        out.odometry.trans_probability = probs_all
+    else:
+        run = jax.jit(odo.ndt_mapping, static_argnums=(2, 3))
+        out = run(jnp.asarray(xyzi), jnp.asarray(mask),
+                  args.map_capacity, cfg)
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     n_reg = len(times) - 1
     print(f"mapping: {dt:.2f} s total, {n_reg / dt:.1f} scans/s "
