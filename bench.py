@@ -428,7 +428,34 @@ def bench_gnss(jax, jnp):
     return E / sec
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the default backend in a subprocess with a deadline.
+
+    When the axon relay is down, the first jax device call blocks
+    FOREVER in-process (observed r3); failing fast with an error JSON
+    line beats a silent hang in the driver."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0
+
+
 def main():
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "NDT align throughput",
+            "value": 0.0,
+            "unit": "scans/sec",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (axon tunnel down?)",
+        }))
+        return 1
+
     import jax
     import jax.numpy as jnp
 
