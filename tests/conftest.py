@@ -11,9 +11,8 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -42,6 +41,23 @@ def sample_pcds():
     target = pcd_io.read_pcd(f"{REF_DATA}/251370668.pcd")
     source = pcd_io.read_pcd(f"{REF_DATA}/251371071.pcd")
     return target, source
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_accumulation():
+    """XLA CPU 0.9.0 segfaults inside ``backend_compile_and_load`` once a
+    single process has accumulated the full suite's compiled executables
+    (4/4 full-suite runs crashed at the same late-suite compile — eager
+    ``lax.scan`` in preintegrate — while the same tests pass in a fresh
+    process; serializing codegen did not help). Most tests build fresh
+    ``jax.jit`` wrappers, so executables pile up monotonically; dropping
+    the caches at each module boundary keeps the JIT arena bounded at
+    roughly one file's worth."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture()
