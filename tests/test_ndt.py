@@ -613,3 +613,63 @@ def test_vmap_align_matches_per_lane_exactly(rng):
                                    np.asarray(s.pose6),
                                    rtol=1e-5, atol=1e-6)
         assert bool(batched.converged[i]) == bool(s.converged)
+
+
+def test_flat_vmap_gather_matches_default(rng):
+    """ops/gatherflat.row_gather: the flattened batched lowering must be
+    bit-identical to the default batched gather — as a unit (every
+    batching combination) and end-to-end through vmap(ndt_align) with
+    PER-LANE maps (batched hash tables, the 64-way fleet shape)."""
+    from toyslam_tpu.ops import gatherflat
+
+    def with_flag(flag, fn, *args):
+        old = gatherflat.FLATTEN_BATCHED
+        gatherflat.FLATTEN_BATCHED = flag
+        try:
+            return jax.tree_util.tree_map(np.asarray, fn(*args))
+        finally:
+            gatherflat.FLATTEN_BATCHED = old
+
+    table = jnp.asarray(rng.normal(size=(4, 64, 16)), jnp.float32)
+    idx_b = jnp.asarray(rng.integers(0, 64, size=(4, 37)), jnp.int32)
+    idx_s = jnp.asarray(rng.integers(0, 64, size=(37,)), jnp.int32)
+    for axes, args in (((0, 0), (table, idx_b)), ((0, None), (table, idx_s)),
+                       ((None, 0), (table[0], idx_b))):
+        mk = lambda: jax.jit(jax.vmap(gatherflat.row_gather, in_axes=axes))
+        a = with_flag(False, mk(), *args)
+        b = with_flag(True, mk(), *args)
+        np.testing.assert_array_equal(a, b)
+
+    # End-to-end fleet shape: per-lane target clouds -> per-lane maps
+    B = 3
+    pts = _make_cloud_pair(rng, 1200)
+    cfg = ndt.NDTConfig(resolution=2.0, transformation_epsilon=1e-3,
+                        max_iterations=20, map_capacity=2048,
+                        grid_capacity=1 << 14, frozen_linesearch=True,
+                        regather_iterations=4)
+    tgt_list, src_list = [], []
+    for b in range(B):
+        lane_pts = pts + 0.02 * rng.normal(size=pts.shape)
+        off = np.array([0.2 + 0.1 * b, -0.1, 0.05])
+        tgt_list.append(pointcloud.from_numpy(lane_pts, capacity=8192,
+                                              dtype=jnp.float32))
+        src_list.append(pointcloud.from_numpy(lane_pts - off, capacity=8192,
+                                              dtype=jnp.float32))
+    t_xyzi = jnp.stack([c.xyzi for c in tgt_list])
+    t_mask = jnp.stack([c.mask for c in tgt_list])
+    s_xyzi = jnp.stack([c.xyzi for c in src_list])
+    s_mask = jnp.stack([c.mask for c in src_list])
+
+    def lane(tx, tm, sx, sm):
+        m = ndt.build_ndt_map(pointcloud.PointCloud(tx, tm), cfg)
+        r = ndt.ndt_align(m, pointcloud.PointCloud(sx, sm),
+                          jnp.eye(4, dtype=jnp.float32), cfg)
+        return r.pose6, r.iterations, r.converged
+
+    mk = lambda: jax.jit(jax.vmap(lane))
+    p_a, it_a, cv_a = with_flag(False, mk(), t_xyzi, t_mask, s_xyzi, s_mask)
+    p_b, it_b, cv_b = with_flag(True, mk(), t_xyzi, t_mask, s_xyzi, s_mask)
+    np.testing.assert_array_equal(it_a, it_b)
+    np.testing.assert_array_equal(cv_a, cv_b)
+    np.testing.assert_array_equal(p_a, p_b)
+    assert bool(np.asarray(cv_a).all())

@@ -226,3 +226,48 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
     assert bool(r_fast.converged)
     np.testing.assert_allclose(np.asarray(r_fast.transform),
                                np.asarray(r_jnp.transform), atol=1e-3)
+
+
+def test_flat_vmap_gather_matches_default_on_hardware(rng):
+    """The flattened batched-gather lowering (ops/gatherflat.py) must be
+    bit-identical to the default batched gather ON THE CHIP — the fleet
+    can only ship whichever lowering wins if both fetch the same rows."""
+    from toyslam_tpu.ops import gatherflat
+    from toyslam_tpu.parallel import batch
+
+    B, N = 3, 2048
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14, frozen_linesearch=True,
+                        regather_iterations=4)
+    t_list, s_list = [], []
+    for b in range(B):
+        pts = _structured_cloud(rng, 600)[:N - 64]
+        pts4 = np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+        pad = np.zeros((N - len(pts4), 4))
+        t_list.append(np.concatenate([pts4, pad], 0))
+        shift = np.array([0.3 + 0.1 * b, -0.2, 0.05 * b, 0.0])
+        s_list.append(np.concatenate([pts4 + shift, pad], 0))
+    mask = np.zeros((B, N), bool)
+    mask[:, :len(pts4)] = True
+
+    t_x = jnp.asarray(np.stack(t_list), jnp.float32)
+    s_x = jnp.asarray(np.stack(s_list), jnp.float32)
+    msk = jnp.asarray(mask)
+
+    def lane(tx, tm, sx, sm):
+        m = ndt.build_ndt_map(pointcloud.PointCloud(tx, tm), cfg)
+        r = ndt.ndt_align(m, pointcloud.PointCloud(sx, sm),
+                          jnp.eye(4, dtype=jnp.float32), cfg)
+        return r.pose6, r.iterations, r.converged
+
+    with gatherflat.flatten_batched(False):
+        ref = jax.block_until_ready(
+            jax.jit(jax.vmap(lane))(t_x, msk, s_x, msk))
+    with gatherflat.flatten_batched(True):
+        flat = jax.block_until_ready(
+            jax.jit(jax.vmap(lane))(t_x, msk, s_x, msk))
+
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(flat[1]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(flat[2]))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(flat[0]))
+    assert bool(np.asarray(ref[2]).all())

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from toyslam_tpu.core import se3
 from toyslam_tpu.core.pointcloud import PointCloud, masked_min_max
+from toyslam_tpu.ops import gatherflat
 from toyslam_tpu.ops.eigh3 import eigh3_soa
 
 _HP = jax.lax.Precision.HIGHEST
@@ -590,7 +591,16 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
     g_cap = ndt_map.hash_table.shape[0]
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
-    stats = ndt_map.hash_table[h]  # [NK, 16] — THE row gather
+    # [NK, 16] — THE row gather. Under the fleet's vmap this can lower as
+    # one flattened single-level gather instead of a batched gather
+    # (ops/gatherflat.py; bit-identical values). Trace-time gate: the
+    # custom_vmap wrapper does not support reverse-mode autodiff, so the
+    # default path must stay a plain gather for the jax.grad/jax.hessian
+    # oracles.
+    if gatherflat.FLATTEN_BATCHED:
+        stats = gatherflat.row_gather(ndt_map.hash_table, h)
+    else:
+        stats = ndt_map.hash_table[h]
     # Exactly-one-voxel gate: hash-colliding valid voxels ADD their rows
     # (see build_ndt_map), and the summed 16-bit id halves of two aliased
     # ids can coincidentally equal a third in-grid voxel id — the id check
