@@ -116,13 +116,16 @@ def main(argv=None):
         probs_all = np.zeros((S,), np.float32)
         start = 1
         if args.resume and ckpt.exists():
-            snap = (state, np.int64(0), poses_all, conv_all, iters_all,
+            snap = (state, np.int32(0), poses_all, conv_all, iters_all,
                     probs_all)
             (state, start, poses_all, conv_all, iters_all,
              probs_all) = checkpoint.load_checkpoint(ckpt, snap)
             start = int(start)
-            poses_all, conv_all, iters_all, probs_all = map(
-                np.asarray, (poses_all, conv_all, iters_all, probs_all))
+            # np.array (not asarray): restored jax arrays view read-only
+            # buffers, and the loop below writes these in place.
+            poses_all, conv_all, iters_all, probs_all = (
+                np.array(poses_all), np.array(conv_all),
+                np.array(iters_all), np.array(probs_all))
             print(f"resumed from {ckpt} at scan {start}")
         for i in range(start, S):
             state, o = step(state, jnp.asarray(xyzi[i]),
@@ -134,7 +137,7 @@ def main(argv=None):
             if args.checkpoint_every and i % args.checkpoint_every == 0:
                 jax.block_until_ready(state)
                 checkpoint.save_checkpoint(
-                    ckpt, (state, np.int64(i + 1), poses_all, conv_all,
+                    ckpt, (state, np.int32(i + 1), poses_all, conv_all,
                            iters_all, probs_all))
         jax.block_until_ready(state)
 

@@ -73,3 +73,45 @@ def test_uwb_demo_fused_beats_raw(tmp_path):
     fused_ate = float(out.split("ATE ")[2].split(" m")[0])
     assert fused_ate < tri_ate, (tri_ate, fused_ate)
     assert fused_ate < 0.5
+
+
+def test_mapping_demo_stream_matches_batch(tmp_path):
+    """mapping_demo CLI: --stream (online mapping_step loop w/ checkpoints)
+    must produce the same trajectory as the one-dispatch batch path, and a
+    --resume rerun from the on-disk snapshot must reproduce it."""
+    import numpy as np
+
+    from toyslam_tpu.core import pcd_io
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = np.stack([
+        rng.uniform(-6, 6, n), rng.uniform(-6, 6, n),
+        0.05 * rng.normal(size=n)], 1)
+    wall = np.stack([
+        rng.uniform(-6, 6, n // 2), np.full(n // 2, 3.0),
+        rng.uniform(0, 2, n // 2)], 1)
+    scene = np.concatenate([base, wall])
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    for i in range(4):
+        pts = scene + np.array([0.1 * i, 0.02 * i, 0.0])
+        pts = pts + 0.01 * rng.normal(size=pts.shape)
+        xyzi = np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+        pcd_io.write_pcd(scans / f"cloud_{i}.pcd", xyzi.astype(np.float32))
+
+    common = ("--device", "cpu", "--leaf", "0.4", "--capacity", "1024",
+              "--map-capacity", "4096")
+    _run("mapping_demo.py", scans, tmp_path / "batch", *common)
+    _run("mapping_demo.py", scans, tmp_path / "stream", "--stream",
+         "--checkpoint-every", "2", *common)
+
+    t_batch = (tmp_path / "batch" / "trajectory.txt").read_text()
+    t_stream = (tmp_path / "stream" / "trajectory.txt").read_text()
+    assert t_batch == t_stream
+    assert (tmp_path / "stream" / "mapping_state.npz").exists()
+
+    out = _run("mapping_demo.py", scans, tmp_path / "stream", "--stream",
+               "--resume", "--checkpoint-every", "2", *common)
+    assert "resumed from" in out
+    assert (tmp_path / "stream" / "trajectory.txt").read_text() == t_stream
