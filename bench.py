@@ -428,40 +428,68 @@ def bench_gnss(jax, jnp):
     return E / sec
 
 
-def _backend_reachable(timeout_s: float = 240.0) -> bool:
+def _backend_reachable(timeout_s: float = 240.0, retries: int = 3,
+                       retry_wait_s: float = 60.0) -> bool:
     """Probe the default backend in a subprocess with a deadline.
 
     When the axon relay is down, the first jax device call blocks
     FOREVER in-process (observed r3); failing fast with an error JSON
-    line beats a silent hang in the driver."""
+    line beats a silent hang in the driver. Relay outages are often
+    transient (observed r3: minutes-scale), so retry a few times with a
+    pause before giving up — a recovered tunnel on probe 2 or 3 still
+    yields real round numbers."""
     import subprocess
 
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return False
-    return out.returncode == 0
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=timeout_s)
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < retries:
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main():
+    # Metrics land in `out` the moment each stage completes, and `out` is
+    # printed no matter how far we got: a tunnel death in stage 7 of 10
+    # (the axon relay has died mid-round twice in r3) must not cost the
+    # stages already measured. Order = importance: the primary align
+    # metric is measured first.
+    out = {
+        "metric": "NDT align throughput (sample pair, 0.1m ds, res 1.0,"
+                  " DIRECT7 - align.cpp config)",
+        "value": 0.0,
+        "unit": "scans/sec",
+        "vs_baseline": 0.0,
+    }
     if not _backend_reachable():
-        print(json.dumps({
-            "metric": "NDT align throughput",
-            "value": 0.0,
-            "unit": "scans/sec",
-            "vs_baseline": 0.0,
-            "error": "device backend unreachable (axon tunnel down?)",
-        }))
+        out["metric"] = "NDT align throughput"
+        out["error"] = "device backend unreachable (axon tunnel down?)"
+        print(json.dumps(out))
+        return 1
+    try:
+        return _run_stages(out)
+    except BaseException as e:  # noqa: BLE001 — partial metrics still count
+        out["error"] = f"{type(e).__name__}: {e}"[:300]
+        print(json.dumps(out))
         return 1
 
+
+def _run_stages(out):
     import jax
     import jax.numpy as jnp
 
     from toyslam_tpu.core import pcd_io, pointcloud
     from toyslam_tpu.pipelines import odometry as odo
     from toyslam_tpu.registration import ndt
+
+    out["backend"] = jax.default_backend()
+    baseline_sps = 1000.0 / 34.33  # pclomp DIRECT7 8-thread amortized
 
     target_np = pcd_io.read_pcd("/root/reference/ndt_omp/data/251370668.pcd")
     source_np = pcd_io.read_pcd("/root/reference/ndt_omp/data/251371071.pcd")
@@ -473,13 +501,17 @@ def main():
     s_ds = ds(pointcloud.from_numpy(source_np, capacity=cap), 0.1, 16384)
     ms_align = bench_align(jax, jnp, t_ds, s_ds, ndt)
     align_sps = 1000.0 / ms_align
+    out["value"] = round(align_sps, 2)
+    out["vs_baseline"] = round(align_sps / baseline_sps, 2)
+    out["ms_per_align"] = round(ms_align, 3)
 
     # ---- Sequential odometry (rosbag config), one dispatch ----
     S = 32
     xyzi, mask = _scan_stack(target_np, source_np, S, cap)
     masks = jax.device_put(jnp.asarray(mask))
-    odo_sps = bench_odometry(jax, jnp, odo, xyzi, masks,
-                             odo.OdometryConfig(), S)
+    out["odometry_scans_per_sec_03leaf"] = round(
+        bench_odometry(jax, jnp, odo, xyzi, masks, odo.OdometryConfig(), S),
+        2)
 
     # ---- 256k-point scans (driver target scale): the SHIPPED DEFAULT
     # (the one config proven to hold <= 1e-3 m golden-parity ATE over 64
@@ -490,47 +522,29 @@ def main():
     big_np = _big_scans(target_np, S2)
     big_masks = jax.device_put(jnp.ones((S2, 262144), bool))
     cfg_default = odo.OdometryConfig(work_capacity=24576)
-    sps256 = bench_odometry(jax, jnp, odo, big_np, big_masks,
-                            cfg_default, S2)
+    out["odometry_scans_per_sec_256kpt_synthetic"] = round(
+        bench_odometry(jax, jnp, odo, big_np, big_masks, cfg_default, S2), 2)
     cfg_exact = cfg_default._replace(
         ndt=cfg_default.ndt._replace(frozen_linesearch=False,
                                      regather_iterations=1 << 30))
-    sps256_exact = bench_odometry(jax, jnp, odo, big_np, big_masks,
-                                  cfg_exact, S2)
+    out["odometry_exact_scans_per_sec_256kpt_synthetic"] = round(
+        bench_odometry(jax, jnp, odo, big_np, big_masks, cfg_exact, S2), 2)
 
     # ---- Full-bag mapping (BASELINE ladder config 4) ----
-    mapping_sps = bench_mapping(jax, jnp, odo, xyzi, masks, S)
+    out["mapping_scans_per_sec_03leaf"] = round(
+        bench_mapping(jax, jnp, odo, xyzi, masks, S), 2)
 
     # ---- Wider model surface ----
-    batch64_sps = bench_batch64_fusion(jax, jnp, target_np)
-    smoother_kfps = bench_smoother(jax, jnp)
-    loam_sps = bench_loam(jax, jnp)
-    gicp_ms = bench_gicp(jax, jnp, t_ds, s_ds)
-    icp_ms = bench_icp(jax, jnp, t_ds, s_ds)
-    gnss_eps = bench_gnss(jax, jnp)
+    out["batch64_scans_per_sec"] = round(
+        bench_batch64_fusion(jax, jnp, target_np), 2)
+    out["smoother_keyframes_per_sec_w20_f32"] = round(
+        bench_smoother(jax, jnp), 2)
+    out["loam_scans_per_sec"] = round(bench_loam(jax, jnp), 2)
+    out["gicp_ms_per_align"] = round(bench_gicp(jax, jnp, t_ds, s_ds), 3)
+    out["icp_ms_per_align"] = round(bench_icp(jax, jnp, t_ds, s_ds), 3)
+    out["gnss_epochs_per_sec_f32"] = round(bench_gnss(jax, jnp), 2)
 
-    baseline_sps = 1000.0 / 34.33  # pclomp DIRECT7 8-thread amortized
-
-    print(json.dumps({
-        "metric": "NDT align throughput (sample pair, 0.1m ds, res 1.0,"
-                  " DIRECT7 - align.cpp config)",
-        "value": round(align_sps, 2),
-        "unit": "scans/sec",
-        "vs_baseline": round(align_sps / baseline_sps, 2),
-        "ms_per_align": round(ms_align, 3),
-        "odometry_scans_per_sec_03leaf": round(odo_sps, 2),
-        "mapping_scans_per_sec_03leaf": round(mapping_sps, 2),
-        "odometry_scans_per_sec_256kpt_synthetic": round(sps256, 2),
-        "odometry_exact_scans_per_sec_256kpt_synthetic":
-            round(sps256_exact, 2),
-        "batch64_scans_per_sec": round(batch64_sps, 2),
-        "smoother_keyframes_per_sec_w20_f32": round(smoother_kfps, 2),
-        "loam_scans_per_sec": round(loam_sps, 2),
-        "gicp_ms_per_align": round(gicp_ms, 3),
-        "icp_ms_per_align": round(icp_ms, 3),
-        "gnss_epochs_per_sec_f32": round(gnss_eps, 2),
-        "backend": jax.default_backend(),
-    }))
+    print(json.dumps(out))
     return 0
 
 
