@@ -673,3 +673,53 @@ def test_flat_vmap_gather_matches_default(rng):
     np.testing.assert_array_equal(cv_a, cv_b)
     np.testing.assert_array_equal(p_a, p_b)
     assert bool(np.asarray(cv_a).all())
+
+
+def test_centroid_search_matches_numpy(rng):
+    """nearest_k_search / radius_search vs a float brute-force oracle over
+    the valid voxel centroids (VoxelGridCovariance::{nearestKSearch,
+    radiusSearch} semantics: distances to leaf MEANS, valid leaves only)."""
+    pts = _make_cloud_pair(rng, 1500)
+    cloud = pointcloud.from_numpy(pts, capacity=4096, dtype=jnp.float32)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=1024,
+                        grid_capacity=1 << 14)
+    m = jax.jit(ndt.build_ndt_map, static_argnums=1)(cloud, cfg)
+
+    valid = np.asarray(m.valid)
+    mu = np.asarray(m.mean3.T)[valid]  # oracle sees only valid centroids
+    vslots = np.nonzero(valid)[0]
+    q = rng.uniform(-25, 25, size=(37, 3)).astype(np.float32)
+    d2_oracle = ((q[:, None, :] - mu[None]) ** 2).sum(-1)
+
+    k = 5
+    idx, sq, found = jax.jit(ndt.nearest_k_search, static_argnums=2)(
+        m, jnp.asarray(q), k)
+    idx, sq, found = map(np.asarray, (idx, sq, found))
+    assert found.all()  # map has >= k valid voxels
+    order = np.argsort(d2_oracle, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.sort(idx, 1),
+                                  np.sort(vslots[order], 1))
+    np.testing.assert_allclose(np.sort(sq, 1),
+                               np.sort(np.take_along_axis(
+                                   d2_oracle, order, 1), 1),
+                               rtol=1e-4, atol=1e-4)
+
+    radius, max_nn = 6.0, 16
+    ridx, rsq, rfound, rcount = jax.jit(
+        ndt.radius_search, static_argnums=3)(m, jnp.asarray(q), radius,
+                                             max_nn)
+    ridx, rsq, rfound, rcount = map(np.asarray,
+                                    (ridx, rsq, rfound, rcount))
+    within = d2_oracle <= radius**2
+    np.testing.assert_array_equal(rcount, within.sum(1))
+    assert (rcount > 0).any() and (rcount < within.shape[1]).all()
+    for i in range(len(q)):
+        n_hit = min(int(rcount[i]), max_nn)
+        assert rfound[i, :n_hit].all() and not rfound[i, n_hit:].any()
+        want = vslots[np.argsort(d2_oracle[i])[:n_hit]]
+        np.testing.assert_array_equal(np.sort(ridx[i, :n_hit]),
+                                      np.sort(want))
+        assert (rsq[i, :n_hit] <= radius**2 + 1e-4).all()
+    # hits returned nearest-first (finite sentinel: inf-inf in diff warns)
+    masked = np.where(rfound, rsq, 1e30)
+    assert (np.diff(masked, axis=1)[rfound[:, 1:]] >= -1e-6).all()

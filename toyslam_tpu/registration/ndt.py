@@ -400,6 +400,67 @@ def lookup_neighbors(ndt_map: NDTMap, query_xyz, resolution, offsets):
     return slot, found
 
 
+def _centroid_sqdist(ndt_map: NDTMap, query_xyz):
+    """[Q, V] squared distances query -> valid voxel centroids (means).
+
+    One MXU matmul (``|q|^2 + |c|^2 - 2 q.c``) replaces the reference's
+    KD-tree over leaf centroids; invalid/padding slots are pushed to +inf
+    so they sort last under ``top_k``.
+    """
+    mu = ndt_map.mean3  # [3, V]
+    q = query_xyz
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)  # [Q, 1]
+    cn = jnp.sum(mu * mu, axis=0)  # [V]
+    cross = jnp.matmul(q, mu, precision=_HP)  # [Q, V]
+    d2 = jnp.maximum(qn + cn[None, :] - 2.0 * cross, 0.0)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    return jnp.where(ndt_map.valid[None, :], d2, big)
+
+
+def nearest_k_search(ndt_map: NDTMap, query_xyz, k: int):
+    """k nearest valid voxels by centroid distance, per query point.
+
+    Equivalent of ``VoxelGridCovariance::nearestKSearch``
+    (``voxel_grid_covariance_omp.h:468-496``: KD-tree over leaf centroids,
+    returns leaf pointers + squared distances). Here: one ``[Q, V]``
+    distance matrix + ``top_k`` — no tree, MXU-shaped, jit/vmap-safe.
+
+    Args:
+      query_xyz: [Q, 3] query points.
+      k: static neighbor count.
+
+    Returns ``(idx, sqdist, found)``: [Q, k] int32 slot indices into the
+    packed arrays (``table``/``mean3``/``icov6``), [Q, k] squared
+    distances, and [Q, k] bool marking real results (False rows appear
+    only when the map holds fewer than k valid voxels).
+    """
+    d2 = _centroid_sqdist(ndt_map, query_xyz)
+    neg, idx = jax.lax.top_k(-d2, k)
+    found = ndt_map.valid[idx]
+    return idx.astype(jnp.int32), jnp.where(found, -neg, 0.0), found
+
+
+def radius_search(ndt_map: NDTMap, query_xyz, radius, max_nn: int):
+    """Valid voxels with centroid within ``radius``, nearest-first.
+
+    Equivalent of ``VoxelGridCovariance::radiusSearch``
+    (``voxel_grid_covariance_omp.h:498-525``). Fixed-shape: returns the
+    up-to-``max_nn`` nearest in-radius voxels plus the TOTAL in-radius
+    count, so callers can detect truncation (the reference's unbounded
+    vector return has no static-shape analog).
+
+    Returns ``(idx, sqdist, found, count)``: [Q, max_nn] slots/squared
+    distances/hit mask and [Q] int32 total in-radius counts.
+    """
+    d2 = _centroid_sqdist(ndt_map, query_xyz)
+    within = d2 <= jnp.asarray(radius, d2.dtype) ** 2
+    count = jnp.sum(within, axis=-1).astype(jnp.int32)
+    neg, idx = jax.lax.top_k(-d2, max_nn)
+    found = jnp.take_along_axis(within, idx, axis=-1)
+    return (idx.astype(jnp.int32), jnp.where(found, -neg, 0.0), found,
+            count)
+
+
 def _angle_tables(p, dtype):
     """Precomputed angular derivative tables (eqs. 6.19/6.21 [Magnusson 2009];
     reference ``computeAngleDerivatives``, ``ndt_omp_impl.hpp:287-395``)."""
