@@ -189,13 +189,18 @@ def bench_odometry(jax, jnp, odo, scans_np, masks, cfg, S):
 
 def bench_batch64_fusion(jax, jnp, target_np):
     """BASELINE config 5: 64 independent sequences x (NDT odometry + ESKF
-    fusion), sequence-level batching on the single chip (vmap; the same
-    program shards over a mesh via parallel.batch.sharded_fusion)."""
+    fusion), sequence-level batching on the single chip. Lanes run in
+    chunks of ``fusion.FLEET_CHUNK`` (measured on-chip optimum: wider
+    lockstep fleets leave the fast gather-footprint regime — see
+    ``fusion.fleet_fusion``); S=16 so steady state dominates the lockstep
+    cold start (the S=4 shape spent most of its time in the first align).
+    The same program shards over a mesh via parallel.batch.sharded_fusion.
+    """
     from toyslam_tpu.pipelines import fusion as fus
     from toyslam_tpu.pipelines import odometry as odo
     from toyslam_tpu.registration import ndt
 
-    B, S, R = 64, 4, 20
+    B, S, R = 64, 16, 20
     cap = 16384
     rng = np.random.default_rng(1)
     base = target_np[
@@ -216,8 +221,7 @@ def bench_batch64_fusion(jax, jnp, target_np):
     cfg = fus.FusionConfig(
         odometry=odo.OdometryConfig(work_capacity=8192),
         imu_per_scan=R)
-    batched = jax.vmap(lambda *a: fus.ndt_eskf_fusion(*a, config=cfg))
-    run = _jit_with_probe(batched)
+    run = _jit_with_probe(lambda *a: fus.fleet_fusion(*a, config=cfg))
     rest = tuple(map(jax.device_put, (jnp.asarray(mask),
                                       jnp.asarray(imu_acc),
                                       jnp.asarray(imu_gyro),

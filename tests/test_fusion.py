@@ -92,3 +92,32 @@ def test_point_sharded_align_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out.transform),
                                np.asarray(ref.transform), atol=1e-5)
     assert int(out.iterations) == int(ref.iterations)
+
+
+def test_fleet_fusion_chunked_matches_wide_vmap(rng):
+    """Chunked fleet execution (lax.map over vmap(chunk)) is bit-identical
+    per lane to one wide vmap — the chunking exists purely to keep the
+    gather working set in the fast footprint regime on real chips
+    (fusion.FLEET_CHUNK), so it must not change any lane's numbers."""
+    B = 4
+    parts = [_fusion_inputs(rng, S=2, N=400, R=10) for _ in range(B)]
+    stacked = [jnp.stack([p[i] for p in parts]) for i in range(5)]
+    cfg = _small_cfg(R=10)
+
+    wide = jax.jit(lambda *a: fusion.fleet_fusion(*a, config=cfg, chunk=B))(
+        *stacked)
+    chunked = jax.jit(lambda *a: fusion.fleet_fusion(*a, config=cfg,
+                                                     chunk=2))(*stacked)
+    for w, c in zip(wide, chunked):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
+
+
+def test_fleet_fusion_rejects_indivisible_chunk(rng):
+    parts = [_fusion_inputs(rng, S=2, N=400, R=10) for _ in range(3)]
+    stacked = [jnp.stack([p[i] for p in parts]) for i in range(5)]
+    try:
+        fusion.fleet_fusion(*stacked, config=_small_cfg(R=10), chunk=2)
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError for B=3, chunk=2")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from toyslam_tpu.estimators import eskf
@@ -62,3 +63,46 @@ def ndt_eskf_fusion(scans_xyzi, scans_mask, imu_acc, imu_gyro, imu_dt,
         poses=out.poses, fused_p=traj["p"], fused_v=traj["v"],
         fused_q=traj["q"], converged=out.converged,
     )
+
+
+# Per-chip fleet width that keeps the NDT stats gathers in the fast cache
+# regime on v5e. Measured on chip (S=16, 16k-pt scans, 8k work capacity,
+# aggregate scans/s): B=8 -> 235, B=16 -> 331, B=32 -> 273, B=64 -> 104.
+# Wider lockstep fleets push the combined per-lane hash tables (2 MB each)
+# past the fast-gather footprint — at B=64 the [B, K*N] stats gathers run
+# at ~26 ns/row vs ~10 at B=16, and gathers are >60% of the program
+# (docs/TPU_NOTES.md "Fleet batched-gather experiment").
+FLEET_CHUNK = 16
+
+
+def fleet_fusion(scans_xyzi, scans_mask, imu_acc, imu_gyro, imu_dt,
+                 config: FusionConfig = FusionConfig(),
+                 chunk: int = FLEET_CHUNK) -> FusionOutput:
+    """Run a B-lane fleet of independent fusion sequences on one chip.
+
+    Lanes run vmap-batched in chunks of ``chunk`` and the chunks run
+    sequentially (``lax.map``), which is bit-identical per lane to one
+    wide vmap — each lane's program touches only its own data — but keeps
+    the working set of the gather-bound NDT inner loops inside the fast
+    footprint regime (see ``FLEET_CHUNK``). The reference's counterpart
+    is N independent single-threaded processes (one ROS node per
+    sequence); here the fleet is one compiled program per chip, shardable
+    over a mesh via ``parallel.batch.sharded_fusion``.
+    """
+    B = scans_xyzi.shape[0]
+    if B % chunk:
+        raise ValueError(f"fleet width {B} not divisible by chunk {chunk}")
+    n = B // chunk
+    if n == 1:
+        return jax.vmap(lambda *a: ndt_eskf_fusion(*a, config=config))(
+            scans_xyzi, scans_mask, imu_acc, imu_gyro, imu_dt)
+
+    def regroup(x):
+        return x.reshape((n, chunk) + x.shape[1:])
+
+    out = jax.lax.map(
+        lambda a: jax.vmap(lambda *b: ndt_eskf_fusion(*b, config=config))(*a),
+        tuple(map(regroup, (scans_xyzi, scans_mask, imu_acc, imu_gyro,
+                            imu_dt))))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((B,) + x.shape[2:]), out)
