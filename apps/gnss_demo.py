@@ -50,6 +50,15 @@ def main(argv=None):
     ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
                     help="cpu: f64 ECEF pipeline; tpu: f32 on-chip "
                          "local-frame solver (f64 prep stays on host)")
+    ap.add_argument("--bag", default=None,
+                    help="replay gnss_comm/GnssMeasMsg epochs from a ROS1 "
+                         "bag (the reference's rawMeasCallback input, "
+                         "gnssSpp.cpp:827) instead of simulating "
+                         "measurements; the constellation/ephemeris still "
+                         "comes from --n-sats/--seed")
+    ap.add_argument("--write-bag", default=None,
+                    help="also dump the simulated epochs as real-format "
+                         "gnss_comm/GnssMeasMsg records (lz4 bag)")
     args = ap.parse_args(argv)
 
     import jax
@@ -128,6 +137,56 @@ def main(argv=None):
         gt.append(np.asarray(pos))
     gt = np.stack(gt)
 
+    # GPS L1 wavelength: the bag carries Doppler in Hz (the receiver
+    # convention — positive when approaching); the pipeline consumes range
+    # rate = -dopp * lambda (``gnssSpp.cpp:1207``).
+    wavelength = SPEED_OF_LIGHT / 1575.42e6
+    if args.write_bag:
+        from toyslam_tpu.runtime import rosbag as rosbag_io
+
+        week = 2300
+        records = []
+        for e in range(args.epochs):
+            use = np.asarray(valids[e])
+            sats = np.arange(1, S + 1, dtype=np.int32)[use]
+            records.append((
+                "/ublox_driver/range_meas", "gnss_comm/GnssMeasMsg",
+                float(tows[e]),
+                rosbag_io.encode_gnss_meas(
+                    week, float(tows[e]), sats, np.asarray(prs[e])[use],
+                    np.asarray(cn0s[e])[use],
+                    -np.asarray(rrs[e])[use] / wavelength,
+                    stamp_sec=float(tows[e]))))
+        rosbag_io.write_mixed_bag(args.write_bag, records,
+                                  compression="lz4")
+        print(f"wrote GNSS measurement bag: {args.write_bag}")
+
+    if args.bag:
+        from toyslam_tpu.runtime import rosbag as rosbag_io
+
+        epochs_in = rosbag_io.pack_bag_gnss_meas(args.bag)
+        if not epochs_in:
+            raise SystemExit("bag contains no GnssMeasMsg epochs")
+        E = len(epochs_in)
+        tows = [ep["tow"] for ep in epochs_in]
+        prs = [np.zeros(S) for _ in range(E)]
+        rrs = [np.zeros(S) for _ in range(E)]
+        cn0s = [np.zeros(S) for _ in range(E)]
+        valids = [np.zeros(S, bool) for _ in range(E)]
+        for e, ep in enumerate(epochs_in):
+            for i, prn_i in enumerate(ep["sats"]):
+                s = int(prn_i) - 1
+                if not (0 <= s < S):
+                    continue  # PRN outside the loaded constellation
+                prs[e][s] = ep["psr"][i]
+                rrs[e][s] = -ep["dopp"][i] * wavelength
+                cn0s[e][s] = ep["cn0"][i]
+                valids[e][s] = np.isfinite(ep["psr"][i])
+        args.epochs = E
+        gt = None
+        print(f"bag: {E} GnssMeas epochs, median sats/epoch "
+              f"{int(np.median([len(ep['sats']) for ep in epochs_in]))}")
+
     prn = jnp.tile(jnp.arange(1, S + 1, dtype=jnp.int32)[None], (args.epochs, 1))
     cfg = pipeline.EpochConfig(apply_iono_correction=False)
     log_args = (store, iono, jnp.asarray(tows, jnp.float64), prn,
@@ -184,7 +243,8 @@ def main(argv=None):
         vel_enu = np.asarray(sols.velocity.vel_enu)
         vel_valid = np.asarray(sols.velocity.valid)
 
-    gt_enu = np.einsum("ij,ej->ei", np.asarray(R), gt - np.asarray(ref))
+    gt_enu = None if gt is None else np.einsum(
+        "ij,ej->ei", np.asarray(R), gt - np.asarray(ref))
 
     # ---- gnss_position.csv: the reference's column set (:1086-1108) ----
     week = 2300
@@ -224,12 +284,16 @@ def main(argv=None):
     traj = evalio.from_transforms(np.asarray(tows), T, vel=vel_enu)
     evalio.write_evapos_csv(out / "solution.csv", traj)
 
-    err = np.linalg.norm(enu - gt_enu, axis=1)
-    ate = float(np.sqrt(np.mean(err ** 2)))
     print(f"epochs: {args.epochs}, used sats (median): "
           f"{int(np.median(num_sats))}")
-    print(f"ENU ATE vs ground truth: {ate:.3f} m "
-          f"(pseudorange noise {args.noise} m)")
+    if gt_enu is not None:
+        err = np.linalg.norm(enu - gt_enu, axis=1)
+        ate = float(np.sqrt(np.mean(err ** 2)))
+        print(f"ENU ATE vs ground truth: {ate:.3f} m "
+              f"(pseudorange noise {args.noise} m)")
+    else:
+        spread = np.linalg.norm(enu - enu.mean(0), axis=1)
+        print(f"bag replay: ENU spread RMS {float(np.sqrt(np.mean(spread**2))):.3f} m")
     print(f"velocity valid: {int(vel_valid.sum())}/{args.epochs}")
     print(f"wrote {out}/gnss_position.csv, skyplot.jsonl, solution.csv")
     return 0

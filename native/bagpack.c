@@ -4,7 +4,7 @@
  * rosbag::View + pcl::fromROSMsg (ndt_rosbag_mapping_node.cpp:27-78);
  * this is the framework's native equivalent: parse the bag record
  * stream (op 0x03 bag header, 0x07 connection, 0x05 chunk with
- * none/bz2 compression, 0x02 message data), decode
+ * none/bz2/lz4 compression, 0x02 message data), decode
  * sensor_msgs/PointCloud2 payloads, and pack them straight into the
  * fixed-capacity [S, capacity, 4] float32 + [S, capacity] mask layout
  * the device pipelines consume (pad sentinel 1e9, intensity 0) — one
@@ -33,6 +33,154 @@ extern int BZ2_bzBuffToBuffDecompress(char *dest, unsigned *dest_len,
                                       int small, int verbosity);
 
 static const char MAGIC[] = "#ROSBAG V2.0\n";
+
+/* ------------------------------------------------------------------ */
+/* LZ4 frame decode (rosbag's roslz4 chunk compression)                */
+/* ------------------------------------------------------------------ */
+
+static uint32_t rd_u32(const uint8_t *p);
+
+/* xxHash32 — the checksum the LZ4 frame header carries. */
+static uint32_t xxh32(const uint8_t *data, long len, uint32_t seed) {
+    const uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u;
+    const uint32_t P4 = 668265263u, P5 = 374761393u;
+    long i = 0;
+    uint32_t h;
+#define ROTL(x, r) (((x) << (r)) | ((x) >> (32 - (r))))
+    if (len >= 16) {
+        uint32_t v1 = seed + P1 + P2, v2 = seed + P2;
+        uint32_t v3 = seed, v4 = seed - P1;
+        while (i + 16 <= len) {
+            v1 = ROTL(v1 + rd_u32(data + i) * P2, 13) * P1;
+            v2 = ROTL(v2 + rd_u32(data + i + 4) * P2, 13) * P1;
+            v3 = ROTL(v3 + rd_u32(data + i + 8) * P2, 13) * P1;
+            v4 = ROTL(v4 + rd_u32(data + i + 12) * P2, 13) * P1;
+            i += 16;
+        }
+        h = ROTL(v1, 1) + ROTL(v2, 7) + ROTL(v3, 12) + ROTL(v4, 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (uint32_t)len;
+    while (i + 4 <= len) {
+        h = ROTL(h + rd_u32(data + i) * P3, 17) * P4;
+        i += 4;
+    }
+    while (i < len) {
+        h = ROTL(h + data[i] * P5, 11) * P1;
+        i += 1;
+    }
+    h ^= h >> 15;
+    h *= P2;
+    h ^= h >> 13;
+    h *= P3;
+    h ^= h >> 16;
+    return h;
+#undef ROTL
+}
+
+/* Decode one LZ4 block into dst at *dpos (matches may reference earlier
+ * frame output, so the caller decodes all blocks of a frame into one
+ * growing region). Returns 0 or -1 on malformed/overflowing input. */
+static int lz4_block_decode(const uint8_t *src, long slen, uint8_t *dst,
+                            long dcap, long *dpos) {
+    long i = 0, o = *dpos;
+    while (i < slen) {
+        int token = src[i++];
+        long lit = token >> 4;
+        if (lit == 15) {
+            int b;
+            do {
+                if (i >= slen) return -1;
+                b = src[i++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (i + lit > slen || o + lit > dcap) return -1;
+        memcpy(dst + o, src + i, lit);
+        i += lit;
+        o += lit;
+        if (i == slen) break; /* final sequence: literals only */
+        if (i + 2 > slen) return -1;
+        long offset = src[i] | ((long)src[i + 1] << 8);
+        i += 2;
+        if (offset == 0 || offset > o) return -1;
+        long mlen = (token & 15) + 4;
+        if ((token & 15) == 15) {
+            int b;
+            do {
+                if (i >= slen) return -1;
+                b = src[i++];
+                mlen += b;
+            } while (b == 255);
+        }
+        if (o + mlen > dcap) return -1;
+        /* Overlapping matches repeat with period `offset`: byte copy. */
+        for (long k = 0; k < mlen; ++k) dst[o + k] = dst[o + k - offset];
+        o += mlen;
+    }
+    *dpos = o;
+    return 0;
+}
+
+/* Decode all LZ4 frames in src into dst (capacity dcap). Mirrors
+ * runtime/lz4f.py `decompress` exactly (header checksum verified,
+ * block/content xxh32s skipped, skippable frames skipped). Returns the
+ * decoded length, or -1 on malformed input / overflow. Exposed through
+ * the ctypes ABI for the byte-identical differential test
+ * (tests/test_lz4.py). */
+long lz4f_decompress(const uint8_t *src, long slen, uint8_t *dst,
+                     long dcap) {
+    long pos = 0, out = 0;
+    while (pos < slen) {
+        if (pos + 4 > slen) return -1;
+        uint32_t magic = rd_u32(src + pos);
+        pos += 4;
+        if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) { /* skippable */
+            if (pos + 4 > slen) return -1;
+            uint32_t size = rd_u32(src + pos);
+            pos += 4 + (long)size;
+            if (pos > slen) return -1;
+            continue;
+        }
+        if (magic != 0x184D2204u) return -1;
+        if (pos + 2 > slen) return -1;
+        long desc_start = pos;
+        int flg = src[pos];
+        pos += 2; /* FLG + BD */
+        if ((flg >> 6) != 1) return -1; /* version */
+        int b_checksum = (flg >> 4) & 1;
+        if ((flg >> 3) & 1) pos += 8; /* content size */
+        if (flg & 1) pos += 4;        /* dict id */
+        if (pos + 1 > slen) return -1;
+        uint8_t hc = src[pos];
+        if (hc != ((xxh32(src + desc_start, pos - desc_start, 0) >> 8)
+                   & 0xFF))
+            return -1;
+        pos += 1;
+        for (;;) {
+            if (pos + 4 > slen) return -1;
+            uint32_t bsize = rd_u32(src + pos);
+            pos += 4;
+            if (bsize == 0) break; /* EndMark */
+            int stored = (bsize >> 31) & 1;
+            long blen = (long)(bsize & 0x7FFFFFFFu);
+            if (pos + blen > slen) return -1;
+            if (stored) {
+                if (out + blen > dcap) return -1;
+                memcpy(dst + out, src + pos, blen);
+                out += blen;
+            } else if (lz4_block_decode(src + pos, blen, dst, dcap,
+                                        &out) != 0) {
+                return -1;
+            }
+            pos += blen;
+            if (b_checksum) pos += 4; /* block xxh32, skipped */
+        }
+        if ((flg >> 2) & 1) pos += 4; /* content xxh32, skipped */
+    }
+    return out;
+}
 
 /* ------------------------------------------------------------------ */
 /* Record-header field scanning                                        */
@@ -315,17 +463,19 @@ long bag_pack_scans(const uint8_t *buf, long len, const char *topic,
         int op = fop.val[0];
         if (op == 0x05) { /* chunk */
             Field fcomp;
-            int bz2 = 0;
+            int comp = 0; /* 0 none, 1 bz2, 2 lz4 */
             if (find_field(hdr, hlen, "compression", &fcomp) == 0) {
                 if (fcomp.len == 3 && !memcmp(fcomp.val, "bz2", 3))
-                    bz2 = 1;
+                    comp = 1;
+                else if (fcomp.len == 3 && !memcmp(fcomp.val, "lz4", 3))
+                    comp = 2;
                 else if (!(fcomp.len == 4 &&
                            !memcmp(fcomp.val, "none", 4))) {
                     rc = -2;
                     break;
                 }
             }
-            if (bz2) {
+            if (comp) {
                 Field fsize;
                 if (find_field(hdr, hlen, "size", &fsize) != 0 ||
                     fsize.len != 4) {
@@ -342,11 +492,18 @@ long bag_pack_scans(const uint8_t *buf, long len, const char *topic,
                     rc = -1;
                     break;
                 }
-                unsigned got = usize;
-                if (BZ2_bzBuffToBuffDecompress(
-                        (char *)plain, &got, (char *)data,
-                        (unsigned)dlen, 0, 0) != 0 ||
-                    got != usize) {
+                int ok;
+                if (comp == 1) {
+                    unsigned got = usize;
+                    ok = BZ2_bzBuffToBuffDecompress(
+                             (char *)plain, &got, (char *)data,
+                             (unsigned)dlen, 0, 0) == 0 &&
+                         got == usize;
+                } else {
+                    ok = lz4f_decompress(data, dlen, plain,
+                                         (long)usize) == (long)usize;
+                }
+                if (!ok) {
                     free(plain);
                     rc = -1;
                     break;

@@ -220,8 +220,9 @@ def test_malformed_compressed_pcd_rejected(tmp_path):
 
 def test_native_bag_pack_matches_python(tmp_path, rng):
     """The C one-pass bag reader (native/bagpack.c) must produce exactly
-    the Python reader's packed output across none/bz2 chunk compression,
-    NaN points, capacity overflow, and off-topic messages."""
+    the Python reader's packed output across none/bz2/lz4 chunk
+    compression, NaN points, capacity overflow, and off-topic
+    messages."""
     from toyslam_tpu.runtime import native, rosbag
 
     if not native.available():
@@ -233,7 +234,7 @@ def test_native_bag_pack_matches_python(tmp_path, rng):
     scans[1][1][7, 2] = np.nan  # masks out, coords kept
     cap = 256  # scan 3 has 290 points -> capacity truncation path
 
-    for comp in ("none", "bz2"):
+    for comp in ("none", "bz2", "lz4"):
         bag = tmp_path / f"scans_{comp}.bag"
         rosbag.write_bag(bag, scans, compression=comp)
         blob = bag.read_bytes()

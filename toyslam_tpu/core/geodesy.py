@@ -112,7 +112,7 @@ def adjust_time_within_week(t, t_ref):
 
 def flat_earth_gps_to_enu(lat, lon, alt, ref_lat, ref_lon, ref_alt):
     """Small-area equirectangular GPS->ENU used by the batch node
-    (``uwb_imu_batch_node.cpp:2182-2213``)."""
+    (``uwb_imu_batch_node.cpp:2182-2213``). Radians in."""
     earth_radius = 6378137.0
     d_lat = lat - ref_lat
     d_lon = lon - ref_lon
@@ -120,3 +120,14 @@ def flat_earth_gps_to_enu(lat, lon, alt, ref_lat, ref_lon, ref_alt):
     e = d_lon * earth_radius * jnp.cos(ref_lat)
     u = alt - ref_alt
     return jnp.stack([e, n, u], -1)
+
+
+def flat_earth_enu_to_gps(enu, ref_lat, ref_lon, ref_alt):
+    """Exact inverse of ``flat_earth_gps_to_enu`` (radians out) — used to
+    synthesize INSPVAX/NavSatFix streams from simulated ENU trajectories
+    for bag round-trip tests."""
+    earth_radius = 6378137.0
+    lat = ref_lat + enu[..., 1] / earth_radius
+    lon = ref_lon + enu[..., 0] / (earth_radius * jnp.cos(ref_lat))
+    alt = ref_alt + enu[..., 2]
+    return lat, lon, alt

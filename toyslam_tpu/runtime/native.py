@@ -51,6 +51,11 @@ def _load():
             ctypes.c_long, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
         ]
+        lib.lz4f_decompress.restype = ctypes.c_long
+        lib.lz4f_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
         lib.bag_pack_scans.restype = ctypes.c_long
         # First arg is c_char_p so a Python bytes object passes zero-copy
         # (the C side only reads it); the out pointers accept None for
@@ -83,6 +88,22 @@ def lzf_decompress(src: bytes, expected_len: int) -> bytes | None:
     return bytes(out[:n])
 
 
+def lz4f_decompress(src: bytes, capacity: int) -> bytes | None:
+    """Native LZ4-frame decode (native/bagpack.c); None if the native lib
+    is unavailable. ``capacity`` bounds the decoded size; raises on
+    malformed frames or overflow — byte-identical to
+    ``runtime.lz4f.decompress`` (differential-tested in
+    tests/test_lz4.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * max(capacity, 1))()
+    n = lib.lz4f_decompress(src, len(src), out, capacity)
+    if n < 0:
+        raise ValueError("corrupt LZ4 frame")
+    return bytes(out[:n])
+
+
 def extract_xyzi(data: bytes, n_points: int, record_size: int,
                  x_off: int, y_off: int, z_off: int, i_off: int):
     """Fused AoS field extraction -> float32 [n, 4]; None if unavailable."""
@@ -101,7 +122,7 @@ def extract_xyzi(data: bytes, n_points: int, record_size: int,
 def bag_pack_scans(buf: bytes, topic: str, max_scans: int, capacity: int):
     """Native one-pass ROS bag parse -> packed device layout.
 
-    Parses every sensor_msgs/PointCloud2 on `topic` (none/bz2 chunks)
+    Parses every sensor_msgs/PointCloud2 on `topic` (none/bz2/lz4 chunks)
     straight into the [S, capacity, 4] float32 + [S, capacity] mask
     layout (native/bagpack.c). Returns (xyzi, mask, times [S] f64,
     counts [S] i64, n_scans) or None when the native library is
