@@ -220,16 +220,27 @@ def test_pallas_deriv_matches_jnp(rng):
 
     import toyslam_tpu.ops.ndt_pallas as npal
     orig = npal.ndt_terms
+    orig_raw = npal.ndt_terms_raw
     with mock.patch.object(npal, "ndt_terms",
-                           lambda *a, **k: orig(*a, interpret=True, **k)):
+                           lambda *a, **k: orig(*a, interpret=True, **k)), \
+         mock.patch.object(npal, "ndt_terms_raw",
+                           lambda *a, **k: orig_raw(*a, interpret=True,
+                                                    **k)):
+        # stats=None -> the raw-gather kernel (ndt_terms_raw)
         s1, g1, h1 = ndt.compute_derivatives(
             m, src, mask, p, d1, d2, 2.0, offs, use_pallas=True)
+        # explicit stats -> the packed-channel kernel (ndt_terms)
+        frozen = ndt.gather_neighborhood(m, src, mask, p, 2.0, offs)
+        s2, g2, h2 = ndt.compute_derivatives(
+            m, src, mask, p, d1, d2, 2.0, offs, use_pallas=True,
+            stats=frozen)
 
-    np.testing.assert_allclose(float(s1), float(s0), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4,
-                               atol=1e-4)
+    for s1_, g1_, h1_ in ((s1, g1, h1), (s2, g2, h2)):
+        np.testing.assert_allclose(float(s1_), float(s0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1_), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h1_), np.asarray(h0),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_display_cloud_sampling(rng):

@@ -59,18 +59,24 @@ def test_pallas_deriv_matches_jnp_on_hardware(rng):
 
     f_jnp = jax.jit(lambda: ndt.compute_derivatives(
         m, src, mask, p, d1, d2, 2.0, offs, use_pallas=False))
-    f_pal = jax.jit(lambda: ndt.compute_derivatives(
+    # stats=None -> the raw-gather kernel (ndt_terms_raw)
+    f_raw = jax.jit(lambda: ndt.compute_derivatives(
         m, src, mask, p, d1, d2, 2.0, offs, use_pallas=True))
+    # explicit stats -> the packed-channel kernel (ndt_terms)
+    f_pak = jax.jit(lambda: ndt.compute_derivatives(
+        m, src, mask, p, d1, d2, 2.0, offs, use_pallas=True,
+        stats=ndt.gather_neighborhood(m, src, mask, p, 2.0, offs)))
     s0, g0, h0 = jax.block_until_ready(f_jnp())
-    s1, g1, h1 = jax.block_until_ready(f_pal())
 
-    # Both paths are f32 on the same data; differences are summation
-    # order only.
-    np.testing.assert_allclose(float(s1), float(s0), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-3,
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-3,
-                               atol=1e-3)
+    for f_pal in (f_raw, f_pak):
+        s1, g1, h1 = jax.block_until_ready(f_pal())
+        # Both paths are f32 on the same data; differences are summation
+        # order only.
+        np.testing.assert_allclose(float(s1), float(s0), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                                   rtol=1e-3, atol=1e-3)
 
 
 def test_sample_pair_align_matches_golden_on_hardware(sample_pcds):

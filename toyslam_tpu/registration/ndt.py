@@ -604,18 +604,10 @@ def _expand(v, N, K):
     return jnp.broadcast_to(v[None, :], (K, N)).reshape(K * N)
 
 
-def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
-                        resolution, offsets) -> NeighborhoodStats:
-    """Voxel lookup + stats gather for every (DIRECT offset, source point).
-
-    The gather half of the reference's ``computeDerivatives`` hot loop
-    (``ndt_omp_impl.hpp:178-285``): transform points by p, find their
-    neighbor voxels, and fetch each voxel's Gaussian as ONE [K*N, 16] row
-    gather from the hash-addressed stats table (random row gathers run at
-    a ~9-12 ns/row hardware floor — the dominant cost of an evaluation —
-    so the former slot-LUT indirection, a second NK-row gather, is gone).
-    Split out so a line search can reuse one neighborhood across trial
-    steps (``NDTConfig.frozen_linesearch``)."""
+def _neighbor_hash(ndt_map: NDTMap, src_xyz, p, resolution, offsets):
+    """Transform points by p and compute, per (DIRECT offset, point):
+    the hash slot ``h`` into the stats table, the expected voxel id
+    ``nvid``, and the in-bounds flag ``ok`` (all [K*N], offset-major)."""
     dtype = src_xyz.dtype
     N = src_xyz.shape[0]
     K = len(offsets)
@@ -652,6 +644,54 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
     g_cap = ndt_map.hash_table.shape[0]
     ok = in_b & (nvid >= 0)
     h = jnp.where(ok, nvid & (g_cap - 1), 0)
+    return h, nvid, ok
+
+
+def gather_neighborhood_raw(ndt_map: NDTMap, src_xyz, src_mask, p,
+                            resolution, offsets):
+    """Stats gather for the raw-input Pallas kernel (``ndt_terms_raw``).
+
+    Returns the UNTOUCHED [K*N, 16] row-gather output plus the compact
+    [3, K*N/128, 128] aux channels (expected id halves + in-bounds/mask
+    flag) the kernel needs for its in-register id-verification gate. No
+    XLA pass ever re-reads the (8x lane-padded) gather buffer — measured
+    ~3.5 ms/scan of slice/and-reduce/transpose traffic per exact-config
+    256k odometry scan (benchmarks/profile_exact_trace.py, round 4)."""
+    dtype = src_xyz.dtype
+    N = src_xyz.shape[0]
+    K = len(offsets)
+    h, nvid, ok = _neighbor_hash(ndt_map, src_xyz, p, resolution, offsets)
+    if gatherflat.FLATTEN_BATCHED:
+        raw = gatherflat.row_gather(ndt_map.hash_table, h)
+    else:
+        raw = ndt_map.hash_table[h]
+    okm = (ok & _expand(src_mask, N, K)).astype(dtype)
+    aux = jnp.stack([
+        (nvid & 0xFFFF).astype(dtype),
+        (nvid >> 16).astype(dtype),
+        okm,
+    ]).reshape(3, (K * N) // 128, 128)
+    return raw, aux
+
+
+def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
+                        resolution, offsets) -> NeighborhoodStats:
+    """Voxel lookup + stats gather for every (DIRECT offset, source point).
+
+    The gather half of the reference's ``computeDerivatives`` hot loop
+    (``ndt_omp_impl.hpp:178-285``): transform points by p, find their
+    neighbor voxels, and fetch each voxel's Gaussian as ONE [K*N, 16] row
+    gather from the hash-addressed stats table (random row gathers run at
+    a ~9-12 ns/row hardware floor — the dominant cost of an evaluation —
+    so the former slot-LUT indirection, a second NK-row gather, is gone).
+    Split out so a line search can reuse one neighborhood across trial
+    steps (``NDTConfig.frozen_linesearch``)."""
+    dtype = src_xyz.dtype
+    N = src_xyz.shape[0]
+    K = len(offsets)
+
+    expand = lambda v: _expand(v, N, K)
+    h, nvid, ok = _neighbor_hash(ndt_map, src_xyz, p, resolution, offsets)
     # [NK, 16] — THE row gather. Under the fleet's vmap this can lower as
     # one flattened single-level gather instead of a batched gather
     # (ops/gatherflat.py; bit-identical values). Trace-time gate: the
@@ -718,28 +758,33 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
 
     expand = lambda v: _expand(v, N, K)
 
-    if stats is None:
-        stats = gather_neighborhood(ndt_map, src_xyz, src_mask, p,
-                                    resolution, offsets)
-
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and dtype == jnp.float32)
     if use_pallas and compute_hessian and N % 1024 == 0:
-        # Fused post-gather Pallas kernel (see ops/ndt_pallas.py).
+        # Fused post-gather Pallas kernel (see ops/ndt_pallas.py). With no
+        # frozen stats, the raw-input variant feeds the kernel the gather
+        # output directly (its single consumer); frozen/carried stats stay
+        # in the compact 10-channel form (cheap to carry and to re-read
+        # across line-search trials).
         from toyslam_tpu.ops import ndt_pallas
 
         j_tab, h_tab = _angle_tables(p, dtype)
         R_N = N // 128
         xyz3 = jnp.stack([sx, sy, sz]).reshape(3, R_N, 128)
-        stats10 = stats.packed.reshape(10, K * R_N, 128)
         params = jnp.concatenate([
             jnp.stack([d1.astype(dtype), d2.astype(dtype)]),
             T[:3, :].reshape(-1),   # 12: rotation rows + translation col
             j_tab.reshape(-1),      # 24
             h_tab.reshape(-1),      # 45
         ]).reshape(1, 83)
-        sums = ndt_pallas.ndt_terms(params, xyz3, stats10)
+        if stats is None:
+            raw, aux = gather_neighborhood_raw(
+                ndt_map, src_xyz, src_mask, p, resolution, offsets)
+            sums = ndt_pallas.ndt_terms_raw(params, xyz3, aux, raw)
+        else:
+            stats10 = stats.packed.reshape(10, K * R_N, 128)
+            sums = ndt_pallas.ndt_terms(params, xyz3, stats10)
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
         score = sums[0]
@@ -750,6 +795,10 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
         hess = hess.at[rows, cols].set(tri)
         hess = hess.at[cols, rows].set(tri)
         return score, grad, hess
+
+    if stats is None:
+        stats = gather_neighborhood(ndt_map, src_xyz, src_mask, p,
+                                    resolution, offsets)
 
     tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
     ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]

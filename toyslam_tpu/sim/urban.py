@@ -192,24 +192,76 @@ class SignalBudget(NamedTuple):
     usable: jnp.ndarray  # [S] bool
 
 
+BOLTZMANN_CONSTANT = 1.38064852e-23  # J/K (``RangingRC.cpp:369``)
+RECEIVER_TEMP = 290.0  # K (``:370``)
+GPS_L1_HZ = 1575.42e6
+
+
+def free_space_path_loss_db(distance_m, frequency_hz=GPS_L1_HZ):
+    """FSPL = 20 log10(4 pi d f / c) (``calculateFreeSpacePathLoss``,
+    ``RangingRC.cpp:389-393``)."""
+    return 20.0 * jnp.log10(
+        4.0 * jnp.pi * distance_m * frequency_hz / SPEED_OF_LIGHT)
+
+
+def cn0_from_elevation(elevations, path_loss_db=0.0):
+    """C/N0 from the reference's link budget (``calculateCN0FromElevation``
+    + ``calculateCN0``, ``RangingRC.cpp:402-427``): received power
+    interpolates -157 dBW at 5 deg elevation to -153 dBW at 90 deg (the
+    nominal ~182.5 dB orbital FSPL is folded into those constants), minus
+    ``path_loss_db`` of EXTRA loss, over a kT thermal noise floor at
+    290 K (N0 ~ -204 dBW/Hz). LOS C/N0 lands at ~47-51 dB-Hz.
+
+    ``elevations`` in radians (this framework's convention).
+    """
+    el_deg = jnp.degrees(jnp.abs(elevations))
+    factor = jnp.clip((el_deg - 5.0) / 85.0, 0.0, 1.0)
+    received_dbw = -157.0 + 4.0 * factor - path_loss_db
+    n0_dbw_hz = 10.0 * jnp.log10(BOLTZMANN_CONSTANT * RECEIVER_TEMP)
+    return received_dbw - n0_dbw_hz
+
+
+def pseudorange_std_from_cn0(cn0_db_hz, a=25.0):
+    """sigma = a / sqrt(10^(C/N0 / 10)) (``calculatePseudorangeStdDev``,
+    ``RangingRC.cpp:429-434``): ~0.11 m at 47 dB-Hz, 2.5 m at 20 dB-Hz."""
+    return a / jnp.sqrt(jnp.power(10.0, cn0_db_hz / 10.0))
+
+
 def signal_budget(receiver, sat_pos, elevations, city: Buildings,
-                  iono_m=None, tropo_m=None, min_cn0=25.0):
-    """Classification + C/N0 + pseudorange error budget
-    (``:379-542,649-676``)."""
+                  iono_m=None, tropo_m=None, min_cn0=20.0):
+    """Classification + C/N0 link budget + pseudorange error budget
+    (``RangingRC.cpp:379-542,1470-1660``).
+
+    Per-path extra losses over the elevation link budget
+    (``cn0_from_elevation``):
+    - direct LOS: none (``:1499``);
+    - blocked, through-building: the summed per-building material
+      attenuation (``:1524-1530``);
+    - blocked, single-bounce NLOS: the reflected-vs-direct FSPL
+      difference plus the reflection loss -20 log10(reflectivity)
+      (``:1581-1591``). The reference literally charges the reflected
+      path's ABSOLUTE FSPL (~182 dB) on top of received-power constants
+      that already include nominal orbital FSPL, which double-counts and
+      silently suppresses every reflection below its own 20 dB-Hz
+      threshold; the relative form here is the evident intent (the code
+      builds and threshold-checks reflected segments).
+
+    ``min_cn0`` mirrors the reference's ``min_cn0_threshold`` rosparam
+    default of 20 dB-Hz (``:791``).
+    """
     S = sat_pos.shape[0]
     blocked, _n, att_db = classify_signals_attenuation(receiver, sat_pos, city)
     has_refl, extra_path, bld = _face_reflections(receiver, sat_pos, city)
 
-    # C/N0: nominal 45 dB-Hz at zenith, elevation-dependent roll-off
-    cn0 = 45.0 - 10.0 * (1.0 - jnp.sin(jnp.abs(elevations)))
+    direct = jnp.linalg.norm(sat_pos - receiver, axis=-1)
     refl_coeff = jnp.where(bld >= 0, city.reflectivity[jnp.maximum(bld, 0)], 0.0)
-    # NLOS via reflection: reflection loss; blocked w/o reflection: the
-    # accumulated per-building material attenuation (``Buildings.
-    # attenuation_db``, summed over every penetrated building)
-    cn0 = jnp.where(blocked & has_refl,
-                    cn0 + 10.0 * jnp.log10(jnp.maximum(refl_coeff, 1e-3)),
-                    cn0)
-    cn0 = jnp.where(blocked & ~has_refl, cn0 - att_db, cn0)
+    reflection_loss = -20.0 * jnp.log10(jnp.maximum(refl_coeff, 1e-3))
+    fspl_delta = (free_space_path_loss_db(direct + extra_path)
+                  - free_space_path_loss_db(direct))
+    extra_loss = jnp.where(
+        blocked & has_refl, fspl_delta + reflection_loss,
+        jnp.where(blocked, att_db, 0.0))
+    cn0 = cn0_from_elevation(elevations, extra_loss)
 
     multipath = blocked & has_refl
     # Systematic pseudorange error: NLOS adds the extra path
@@ -217,10 +269,13 @@ def signal_budget(receiver, sat_pos, elevations, city: Buildings,
     tropo = jnp.zeros(S) if tropo_m is None else tropo_m
     pr_err = iono + tropo + jnp.where(multipath, extra_path, 0.0)
 
-    # Receiver noise grows as C/N0 drops (thermal noise model)
-    noise_std = 0.3 * jnp.power(10.0, (45.0 - cn0) / 20.0)
+    # Receiver noise coupled to the link budget (``:429-441``)
+    noise_std = pseudorange_std_from_cn0(cn0)
 
-    usable = (~blocked | multipath) & (cn0 >= min_cn0)
+    # Usability is purely the C/N0 floor, as in the reference: LOS
+    # (``:1499``), bounced NLOS (``:1594``), and even through-building
+    # reception (``:1533-1556``) all count when above the threshold.
+    usable = cn0 >= min_cn0
     return SignalBudget(
         blocked=blocked, multipath=multipath, cn0=cn0,
         pseudorange_error=pr_err, noise_std=noise_std, usable=usable,
