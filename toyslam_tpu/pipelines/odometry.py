@@ -97,6 +97,11 @@ class OdometryOutput(NamedTuple):
     converged: jax.Array  # [S]
     iterations: jax.Array  # [S]
     trans_probability: jax.Array  # [S]
+    # Per-scan work accounting (coarse + fine stages summed): derivative
+    # evaluations and full stats-table gathers — drives bench.py's
+    # pct_of_gather_floor utilization line.
+    evaluations: jax.Array = 0  # [S]
+    gathers: jax.Array = 0  # [S]
 
 
 def _scan_step(cfg: OdometryConfig):
@@ -108,6 +113,8 @@ def _scan_step(cfg: OdometryConfig):
 
         m = ndt.build_ndt_map(prev_ds, cfg.ndt)
         guess = prev_T if cfg.warm_start else jnp.eye(4, dtype=xyzi.dtype)
+        n_ev = jnp.zeros((), jnp.int32)
+        n_ga = jnp.zeros((), jnp.int32)
         if cfg.coarse_leaf > 0:
             # Coarse stage: same map, fewer source points (downsampled
             # from the already-downsampled working cloud — cheap sort).
@@ -118,17 +125,22 @@ def _scan_step(cfg: OdometryConfig):
                                           cfg.coarse_capacity)
             res_c = ndt.ndt_align(m, cur_coarse, guess, cfg.ndt)
             guess = jnp.where(res_c.converged, res_c.transform, guess)
+            n_ev += res_c.evaluations
+            n_ga += res_c.gathers
             fine_cfg = cfg.ndt._replace(
                 regather_iterations=min(cfg.fine_regather,
                                         cfg.ndt.regather_iterations))
             res = ndt.ndt_align(m, cur_ds, guess, fine_cfg)
         else:
             res = ndt.ndt_align(m, cur_ds, guess, cfg.ndt)
+        n_ev += res.evaluations
+        n_ga += res.gathers
 
         eye = jnp.eye(4, dtype=xyzi.dtype)
         T = jnp.where(res.converged, res.transform, eye)
         pose_new = jnp.matmul(pose, T, precision=_HP)
-        out = (pose_new, T, res.converged, res.iterations, res.trans_probability)
+        out = (pose_new, T, res.converged, res.iterations,
+               res.trans_probability, n_ev, n_ga)
         return (cur_ds, pose_new, T), out
 
     return step
@@ -153,14 +165,17 @@ def ndt_odometry(scans_xyzi, scans_mask, config: OdometryConfig = OdometryConfig
     carry0 = (first_ds, initial_pose.astype(dtype), eye)
     step = _scan_step(config)
     _, outs = jax.lax.scan(step, carry0, (scans_xyzi[1:], scans_mask[1:]))
-    poses_rest, pairwise_rest, conv, iters, prob = outs
+    poses_rest, pairwise_rest, conv, iters, prob, evals, gathers = outs
 
     poses = jnp.concatenate([initial_pose[None].astype(dtype), poses_rest], 0)
     pairwise = jnp.concatenate([eye[None], pairwise_rest], 0)
     converged = jnp.concatenate([jnp.ones((1,), bool), conv])
     iterations = jnp.concatenate([jnp.zeros((1,), iters.dtype), iters])
     probs = jnp.concatenate([jnp.zeros((1,), dtype), prob])
-    return OdometryOutput(poses, pairwise, converged, iterations, probs)
+    zero_i = jnp.zeros((1,), evals.dtype)
+    return OdometryOutput(poses, pairwise, converged, iterations, probs,
+                          jnp.concatenate([zero_i, evals]),
+                          jnp.concatenate([zero_i, gathers]))
 
 
 class MappingOutput(NamedTuple):
@@ -223,15 +238,18 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
     (_, final_map), outs = jax.lax.scan(
         step, carry0, (scans_xyzi[1:], scans_mask[1:])
     )
-    poses_rest, pairwise_rest, conv, iters, prob = outs
+    poses_rest, pairwise_rest, conv, iters, prob, evals, gathers = outs
     poses = jnp.concatenate([eye[None], poses_rest], 0)
     pairwise = jnp.concatenate([eye[None], pairwise_rest], 0)
+    zero_i = jnp.zeros((1,), evals.dtype)
     odo = OdometryOutput(
         poses,
         pairwise,
         jnp.concatenate([jnp.ones((1,), bool), conv]),
         jnp.concatenate([jnp.zeros((1,), iters.dtype), iters]),
         jnp.concatenate([jnp.zeros((1,), dtype), prob]),
+        jnp.concatenate([zero_i, evals]),
+        jnp.concatenate([zero_i, gathers]),
     )
     return MappingOutput(odo, final_map.xyzi, final_map.mask)
 

@@ -135,6 +135,14 @@ class NDTResult(NamedTuple):
     iterations: jax.Array  # int32
     trans_probability: jax.Array  # scalar
     pose6: jax.Array  # [6] final chart state
+    # Work accounting (for utilization reporting + parity diagnostics):
+    # derivative evaluations (1 init + first trial + extra More-Thuente
+    # trials per Newton iteration — comparable to the golden oracle's
+    # n_evals) and full [K*N, 16] stats-table gathers actually executed
+    # (== evaluations in exact mode; 1 + min(it, regather_iterations)
+    # under the frozen/turbo defaults).
+    evaluations: jax.Array = 0
+    gathers: jax.Array = 0
 
 
 def gauss_coefficients(resolution, outlier_ratio, dtype=jnp.float32):
@@ -1136,6 +1144,10 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
             jnp.where(zero_dir, score, s["score"]),
             jnp.where(zero_dir, grad, s["grad"]),
             jnp.where(zero_dir, hess, s["hess"]),
+            # evals this line search: the unconditional first-trial eval +
+            # loop trials (the zero_dir guard discards values but the
+            # traced first-trial evaluation still executes — count cost)
+            1 + s["it"],
         )
 
     turbo = config.frozen_linesearch and config.regather_iterations < (1 << 29)
@@ -1170,7 +1182,7 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
                 # The neighborhood is a loop-invariant closure — no stats
                 # in the while carry (which would copy the multi-MB buffer
                 # every iteration), no cond.
-                a_t, p_new, score_n, grad_n, hess_n = line_search(
+                a_t, p_new, score_n, grad_n, hess_n, n_ev = line_search(
                     p, step_dir, norm, score, grad, hess,
                     ls_stats=frozen_stats
                 )
@@ -1191,12 +1203,12 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
                 ls_stats = gather_neighborhood(ndt_map, src_xyz, src_mask,
                                                p_t0, config.resolution,
                                                offsets)
-                a_t, p_new, score_n, grad_n, hess_n = line_search(
+                a_t, p_new, score_n, grad_n, hess_n, n_ev = line_search(
                     p, step_dir, norm, score, grad, hess, ls_stats=ls_stats
                 )
             else:
                 ls_stats = None
-                a_t, p_new, score_n, grad_n, hess_n = line_search(
+                a_t, p_new, score_n, grad_n, hess_n, n_ev = line_search(
                     p, step_dir, norm, score, grad, hess
                 )
 
@@ -1212,10 +1224,17 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
             )
             # NaN norm means failure (reference returns converged_=false)
             failed = ~jnp.isfinite(norm)
+            # Work accounting: evals = every derivative evaluation this
+            # iteration; gathers = full stats-table gathers executed
+            # (exact: one per eval; gather/turbo: the one regather;
+            # frozen: none).
+            n_gather = {"exact": n_ev, "gather": 1, "frozen": 0}[stats_mode]
             out = dict(
                 p=p_out, score=score_out, grad=grad_out, hess=hess_out,
                 it=it + 1, converged=converged,
                 failed=carry["failed"] | failed,
+                evals=carry["evals"] + n_ev,
+                gathers=carry["gathers"] + n_gather,
             )
             if stats_mode == "gather":
                 out["stats"] = ls_stats
@@ -1227,6 +1246,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         p=p0, score=score0, grad=grad0, hess=hess0,
         it=jnp.zeros((), jnp.int32), converged=jnp.asarray(False),
         failed=jnp.asarray(False),
+        # the init evaluation (and its gather, in every mode)
+        evals=jnp.ones((), jnp.int32), gathers=jnp.ones((), jnp.int32),
     )
     if turbo and config.regather_iterations != 0:
         # Two-phase Newton: a bounded regather loop (fresh neighborhood at
@@ -1262,6 +1283,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
         iterations=carry["it"],
         trans_probability=carry["score"] / n_src,
         pose6=carry["p"],
+        evaluations=carry["evals"],
+        gathers=carry["gathers"],
     )
 
 
