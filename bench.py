@@ -175,15 +175,35 @@ def _big_scans(target_np, S2=32):
     return big_scans
 
 
-def bench_odometry(jax, jnp, odo, scans_np, masks, cfg, S):
+# Measured hash-table row-gather rate of the composed odometry program on
+# the v5e: ~1.5 ns/row with the single-scan map resident in alternate
+# memory (benchmarks/profile_exact_trace.py round 4: fusion.999 at
+# 0.26 ms / 172032 rows; docs/TPU_NOTES.md "Exact control flow to 126
+# scans/s"). The utilization line divides this floor by measured wall so
+# perf claims stay auditable against physics rather than prior rounds.
+GATHER_NS_PER_ROW = 1.5
+
+
+def bench_odometry(jax, jnp, odo, scans_np, masks, cfg, S,
+                   floor_out: dict | None = None, floor_key: str = ""):
     """scans_np: HOST numpy stack; each timed run uploads a fresh r mm
-    jittered copy (see module docstring — device-side `+ d` is elided)."""
+    jittered copy (see module docstring — device-side `+ d` is elided).
+
+    With ``floor_out``, also records ``pct_of_gather_floor`` for this
+    config: executed stats-table gather rows (from the odometry's own
+    work accounting) x the measured ns/row floor, over measured wall.
+    """
     run = _jit_with_probe(lambda s_, m_: odo.ndt_odometry(s_, m_, cfg))
     sec, out = _timed(
         run,
         lambda r: (jax.device_put(
             jnp.asarray(scans_np + np.float32(1e-3 * r))), masks))
     assert bool(np.asarray(out.converged)[1:].all()), "odometry diverged"
+    if floor_out is not None:
+        rows_per_gather = cfg.work_capacity * 7  # DIRECT7
+        rows = int(np.asarray(out.gathers)[1:].sum()) * rows_per_gather
+        floor_sec = rows * GATHER_NS_PER_ROW * 1e-9
+        floor_out[floor_key] = round(100.0 * floor_sec / sec, 1)
     return (S - 1) / sec  # scans per second
 
 
@@ -527,12 +547,17 @@ def _run_stages(out):
     big_masks = jax.device_put(jnp.ones((S2, 262144), bool))
     cfg_default = odo.OdometryConfig(work_capacity=24576)
     out["odometry_scans_per_sec_256kpt_synthetic"] = round(
-        bench_odometry(jax, jnp, odo, big_np, big_masks, cfg_default, S2), 2)
+        bench_odometry(jax, jnp, odo, big_np, big_masks, cfg_default, S2,
+                       floor_out=out,
+                       floor_key="odometry_256kpt_pct_of_gather_floor"), 2)
     cfg_exact = cfg_default._replace(
         ndt=cfg_default.ndt._replace(frozen_linesearch=False,
                                      regather_iterations=1 << 30))
     out["odometry_exact_scans_per_sec_256kpt_synthetic"] = round(
-        bench_odometry(jax, jnp, odo, big_np, big_masks, cfg_exact, S2), 2)
+        bench_odometry(jax, jnp, odo, big_np, big_masks, cfg_exact, S2,
+                       floor_out=out,
+                       floor_key="odometry_exact_256kpt_pct_of_gather_floor"),
+        2)
 
     # ---- Full-bag mapping (BASELINE ladder config 4) ----
     out["mapping_scans_per_sec_03leaf"] = round(
