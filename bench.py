@@ -329,18 +329,35 @@ def bench_gicp(jax, jnp, t_ds, s_ds):
     from toyslam_tpu.core.pointcloud import PointCloud
 
     cfg = gicp.GICPConfig()
-    run = _jit_with_probe(lambda s, t, g: gicp.gicp_align(s, t, g, cfg))
     eye = jnp.eye(4, dtype=jnp.float32)
     s_np = np.asarray(s_ds.xyzi)
+    # REPS full aligns (BOTH covariance stages + outer loop) inside one
+    # lax.scan, like bench_align: a single align per dispatch measures
+    # mostly the ~14 ms/dispatch axon relay overhead (r4 trace: 15.5 ms
+    # device vs 41 ms wall), not the framework.
+    REPS = 8
+
+    def many(s_xyzi, s_mask, t_cloud, eps):
+        def one(carry, k):
+            s_cloud = PointCloud(s_xyzi.at[0, 0].add(eps[k]), s_mask)
+            r = gicp.gicp_align(s_cloud, t_cloud,
+                                eye.at[0, 3].add(eps[k]), cfg)
+            return carry + r.transform[0, 3], r.converged
+
+        tot, conv = jax.lax.scan(one, jnp.zeros((), jnp.float32),
+                                 jnp.arange(REPS))
+        return tot, conv
+
+    run = _jit_with_probe(many)
+    epss = np.linspace(0, 1e-4, REPS).astype(np.float32)
 
     def args(r):
-        s_jit = PointCloud(
-            jax.device_put(jnp.asarray(s_np + np.float32(1e-3 * r))),
-            s_ds.mask)
-        return (s_jit, t_ds, eye.at[0, 3].add(1e-4 * r))
+        s_jit = jax.device_put(jnp.asarray(s_np + np.float32(1e-3 * r)))
+        return (s_jit, s_ds.mask, t_ds,
+                jax.device_put(jnp.asarray(epss + np.float32(1e-5 * r))))
 
-    sec, out = _timed(run, args)
-    assert bool(np.isfinite(np.asarray(out.transform)).all())
+    sec, out = _timed(run, args, reps_inside=REPS)
+    assert bool(np.isfinite(np.asarray(out[0])))
     return sec * 1e3  # ms per align
 
 

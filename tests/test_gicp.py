@@ -82,6 +82,57 @@ def test_sparse_cloud_covariances_fall_back_to_identity(rng):
         np.testing.assert_allclose(C[i], eye, atol=1e-6)
 
 
+def test_pallas_cov_distance_pass_matches_jnp(rng):
+    """The fused covariance-stage bf16 negated-distance pass
+    (ops/nn_pallas.neg_dist_bf16, interpret mode on CPU) must reproduce
+    the jnp path's approx_max_k operand ``-(d).astype(bf16)`` to within
+    one bf16 ulp (its adds associate differently), and the covariances
+    built from it must keep near-identical plane normals."""
+    import jax
+
+    from toyslam_tpu.ops import nn_pallas
+
+    pts = _structured_cloud(rng, n=900)
+    cloud = pointcloud.from_numpy(pts, capacity=1024, dtype=jnp.float32)
+    xyz = cloud.xyzi[:, :3]
+    mask = cloud.mask
+
+    sq = jnp.sum(xyz * xyz, 1)
+    tgt_t = jnp.where(mask[None, :], xyz.T, 0.0)
+    tgt_sq = jnp.where(mask, sq, 1.0e9)[None, :]
+    nd_pal = np.asarray(nn_pallas.neg_dist_bf16(
+        xyz, sq[:, None], tgt_t, tgt_sq, interpret=True)).astype(np.float32)
+
+    d = (sq[:, None]
+         - 2.0 * jnp.matmul(xyz, xyz.T,
+                            precision=jax.lax.Precision.HIGH)
+         + sq[None, :])
+    d = jnp.where(mask[None, :], d, 1.0e9)
+    nd_jnp = np.asarray((-d).astype(jnp.bfloat16)).astype(np.float32)
+
+    # valid x valid entries: within ~2 bf16 ulps, plus a small absolute
+    # floor for the self-distance diagonal (exact 0 under the jnp path's
+    # cancellation; ~|s|^2 * 2^-16 hi/lo cross-term residual in-kernel —
+    # far below any real neighbor spacing)
+    vm = np.asarray(mask)
+    sub_p, sub_j = nd_pal[vm][:, vm], nd_jnp[vm][:, vm]
+    tol = 2.0 * 2.0 ** -8 * np.abs(sub_j) + 5e-3
+    assert (np.abs(sub_p - sub_j) <= tol).mean() > 0.999
+
+    # end-to-end covariances: same Segal planes on almost every point
+    from unittest import mock
+    orig = nn_pallas.neg_dist_bf16
+    with mock.patch.object(
+            nn_pallas, "neg_dist_bf16",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        C_pal = np.asarray(gicp.compute_covariances(
+            xyz, mask, 20, 0.001, use_pallas=True))
+    C_jnp = np.asarray(gicp.compute_covariances(
+        xyz, mask, 20, 0.001, use_pallas=False))
+    row_close = np.isclose(C_pal, C_jnp, rtol=1e-2, atol=1e-2).all((1, 2))
+    assert row_close[vm].mean() > 0.9, row_close[vm].mean()
+
+
 def test_pallas_nn_path_matches_jnp(rng):
     """The fused Pallas correspondence kernel (interpret mode on CPU) must
     reproduce the jnp argmin path: same final transform, same converged

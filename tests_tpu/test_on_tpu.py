@@ -209,10 +209,14 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
                                     dtype=jnp.float32), 0.1, 16384)
     eye = jnp.eye(4, dtype=jnp.float32)
 
+    # cov kernel pinned OFF here so the nn/terms kernels are isolated
+    # (the cov kernel gets its own comparison below)
     cfg_pal = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True,
-                              exact_nn=True)
-    cfg_fast = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True)
-    cfg_jnp = gicp.GICPConfig(use_pallas_nn=False, use_pallas_terms=False)
+                              exact_nn=True, use_pallas_cov=False)
+    cfg_fast = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True,
+                               use_pallas_cov=False)
+    cfg_jnp = gicp.GICPConfig(use_pallas_nn=False, use_pallas_terms=False,
+                              use_pallas_cov=False)
     r_pal = jax.block_until_ready(jax.jit(
         gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_pal))
     r_fast = jax.block_until_ready(jax.jit(
@@ -232,6 +236,21 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
     assert bool(r_fast.converged)
     np.testing.assert_allclose(np.asarray(r_fast.transform),
                                np.asarray(r_jnp.transform), atol=1e-3)
+
+    # Covariance-stage fused bf16 distance pass (neg_dist_bf16, default
+    # ON): its adds round differently from the jnp HIGH-matmul path, so
+    # near-tied k-NN membership flips on a minority of rows; the Segal
+    # (eps,1,1) recomposition must keep the end-to-end transform within
+    # a few mm (measured 1.0 mm on this pair, r4).
+    cfg_cov_jnp = gicp.GICPConfig(use_pallas_cov=False)
+    r_cov_jnp = jax.block_until_ready(jax.jit(
+        gicp.gicp_align, static_argnums=3)(s_ds, t_ds, eye, cfg_cov_jnp))
+    r_cov_pal = jax.block_until_ready(jax.jit(
+        gicp.gicp_align, static_argnums=3)(
+            s_ds, t_ds, eye, gicp.GICPConfig(use_pallas_cov=True)))
+    assert bool(r_cov_pal.converged) and bool(r_cov_jnp.converged)
+    np.testing.assert_allclose(np.asarray(r_cov_pal.transform),
+                               np.asarray(r_cov_jnp.transform), atol=3e-3)
 
 
 def test_flat_vmap_gather_matches_default_on_hardware(rng):

@@ -89,6 +89,67 @@ def _pick_tile(n, candidates):
     return None
 
 
+def _neg_dist_kernel(src_ref, ssq_ref, tgt_t_ref, tsq_ref, out_ref):
+    s = src_ref[...]  # [TN, 3]
+    ssq = ssq_ref[...]  # [TN, 1]
+    t_t = tgt_t_ref[...]  # [3, TM]
+    tsq = tsq_ref[...]  # [1, TM]
+    # bf16x3 ranking product (see _make_kernel exact=False)
+    s_hi = s.astype(jnp.bfloat16)
+    s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    t_hi = t_t.astype(jnp.bfloat16)
+    t_lo = (t_t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    st = jnp.dot(s_hi, t_hi, preferred_element_type=jnp.float32)
+    st += jnp.dot(s_hi, t_lo, preferred_element_type=jnp.float32)
+    st += jnp.dot(s_lo, t_hi, preferred_element_type=jnp.float32)
+    out_ref[...] = (2.0 * st - tsq - ssq).astype(jnp.bfloat16)
+
+
+def neg_dist_bf16(src_xyz, src_sq, tgt_t, tgt_sq, interpret: bool = False):
+    """[N, M] bf16 NEGATED squared distances in one pass, as the operand
+    of ``jax.lax.approx_max_k`` k-NN (GICP covariances).
+
+    The plain-XLA covariance k-NN materializes the f32 distance matrix
+    (1 GB at 16k), then re-reads it for the bf16 cast and the mask pass —
+    three matrix-sized HBM passes before approx_max_k even starts. This
+    kernel writes approx_max_k's operand directly: 3 bf16 MXU passes + one
+    0.5 GB bf16 write, nothing else. Values match the jnp path's
+    ``-(d).astype(bf16)`` up to fusion rounding of the adds: |s|^2 is
+    subtracted IN-kernel before the cast — a row constant cannot change
+    per-row ranking, but leaving it out would shift near-neighbor
+    distances to ~|s|^2 magnitude where bf16 cannot resolve them.
+
+    src_xyz [N, 3] f32; src_sq [N, 1] f32 = |s|^2; tgt_t [3, M] f32 with
+    invalid columns zeroed; tgt_sq [1, M] f32 = |t|^2 or a >= 1e9
+    sentinel for invalid columns. Returns None when shapes don't tile.
+    """
+    N = src_xyz.shape[0]
+    M = tgt_t.shape[1]
+    tn = _pick_tile(N, (256, 128, 64, 32, 16))
+    tm = _pick_tile(M, (2048, 1024, 512, 256, 128))
+    if tn is None or tm is None:
+        return None
+    grid = (N // tn, M // tm)
+    return pl.pallas_call(
+        _neg_dist_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, M), jnp.bfloat16),
+        interpret=interpret,
+    )(src_xyz, src_sq, tgt_t, tgt_sq)
+
+
 def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
                      exact: bool = True,
                      interpret: bool = False):

@@ -61,6 +61,11 @@ class GICPConfig(NamedTuple):
     # multiple of 1024 — one launch per GN step instead of ~20 small
     # XLA ops (measured 18.4 ms of the 70 ms sample-pair align).
     use_pallas_terms: bool | None = None
+    # Covariance-stage k-NN operand: None auto-enables the fused bf16
+    # negated-distance pass (ops/nn_pallas.neg_dist_bf16) on TPU f32 —
+    # one matrix-sized pass instead of three feeding approx_max_k; same
+    # bf16x3 ranking semantics as the approx default.
+    use_pallas_cov: bool | None = None
     max_correspondence_distance: float = 5.0  # pcl default
     max_iterations: int = 20  # outer loop
     inner_iterations: int = 8  # GN steps per correspondence set
@@ -77,7 +82,9 @@ class GICPResult(NamedTuple):
 
 
 def compute_covariances(xyz, mask, k: int, epsilon: float,
-                        exact_knn: bool = False):
+                        exact_knn: bool = False,
+                        use_pallas: bool | None = None,
+                        interpret: bool = False):
     """Segal regularized covariances: eigenvalues -> (eps, 1, 1)
     (``computeCovariances``, ``gicp_omp_impl.hpp:48-124``)."""
     # exact_knn keeps full-f32 (HIGHEST) distances + a real sort; the
@@ -86,21 +93,41 @@ def compute_covariances(xyz, mask, k: int, epsilon: float,
     # (1 GB each at 16k f32), and ~0.4% relative quantization on
     # near-neighbor distances is noise next to approx_max_k's own ~0.95
     # recall (the Segal (eps,1,1) recomposition only keeps the plane
-    # normal, which one or two swapped neighbors barely rotate).
-    prec = _HP if exact_knn else jax.lax.Precision.HIGH
-    d = (
-        jnp.sum(xyz * xyz, 1)[:, None]
-        - 2.0 * jnp.matmul(xyz, xyz.T, precision=prec)
-        + jnp.sum(xyz * xyz, 1)[None, :]
-    )
-    d = jnp.where(mask[None, :], d, _BIG)
-    if exact_knn:
-        negd, idx = jax.lax.top_k(-d, k)  # includes self (d=0)
-    elif d.dtype == jnp.float32:
-        negd, idx = jax.lax.approx_max_k(-d.astype(jnp.bfloat16), k)
+    # normal, which one or two swapped neighbors barely rotate). On TPU
+    # f32 the fused Pallas pass (ops/nn_pallas.neg_dist_bf16) writes
+    # approx_max_k's bf16 operand directly — one matrix-sized pass
+    # instead of three (f32 matmul write, mask pass, bf16 cast).
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and xyz.dtype == jnp.float32)
+    if use_pallas and not exact_knn and xyz.dtype == jnp.float32:
+        from toyslam_tpu.ops import nn_pallas
+
+        sq = jnp.sum(xyz * xyz, 1)
+        tgt_t = jnp.where(mask[None, :], xyz.T, 0.0)
+        tgt_sq = jnp.where(mask, sq, _BIG)[None, :]
+        nd = nn_pallas.neg_dist_bf16(xyz, sq[:, None], tgt_t, tgt_sq,
+                                     interpret=interpret)
+    else:
+        nd = None
+    if nd is not None:
+        negd, idx = jax.lax.approx_max_k(nd, k)
         negd = negd.astype(xyz.dtype)
-    else:  # f64 oracle path: keep full-precision ranking
-        negd, idx = jax.lax.approx_max_k(-d, k)
+    else:
+        prec = _HP if exact_knn else jax.lax.Precision.HIGH
+        d = (
+            jnp.sum(xyz * xyz, 1)[:, None]
+            - 2.0 * jnp.matmul(xyz, xyz.T, precision=prec)
+            + jnp.sum(xyz * xyz, 1)[None, :]
+        )
+        d = jnp.where(mask[None, :], d, _BIG)
+        if exact_knn:
+            negd, idx = jax.lax.top_k(-d, k)  # includes self (d=0)
+        elif d.dtype == jnp.float32:
+            negd, idx = jax.lax.approx_max_k(-d.astype(jnp.bfloat16), k)
+            negd = negd.astype(xyz.dtype)
+        else:  # f64 oracle path: keep full-precision ranking
+            negd, idx = jax.lax.approx_max_k(-d, k)
     # Sparse clouds (< k valid points) select padded sentinels as
     # neighbors; their 1e9-scale coordinates would poison the mean/cov.
     # Gate on ALL k selected distances being real (reference skips points
@@ -143,10 +170,12 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
 
     C_src = compute_covariances(src, source.mask,
                                 config.k_correspondences,
-                                config.gicp_epsilon, config.exact_knn)
+                                config.gicp_epsilon, config.exact_knn,
+                                use_pallas=config.use_pallas_cov)
     C_tgt = compute_covariances(tgt, target.mask,
                                 config.k_correspondences,
-                                config.gicp_epsilon, config.exact_knn)
+                                config.gicp_epsilon, config.exact_knn,
+                                use_pallas=config.use_pallas_cov)
     tgt_sq = jnp.sum(tgt * tgt, 1)
     max_d2 = config.max_correspondence_distance ** 2
 
