@@ -243,6 +243,39 @@ def test_pallas_deriv_matches_jnp(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_repack_kernel_bit_identical(rng):
+    """The single-pass stats repack kernel (ops/ndt_pallas.ndt_repack,
+    interpret mode on CPU) must reproduce gather_neighborhood's jnp
+    unpack BIT-identically — it is the same slicing + gate logic, only
+    fused (re-proven on hardware by the bench parity: the turbo/default
+    odometry config is pinned to the f64 golden by its ATE test)."""
+    from unittest import mock
+
+    import toyslam_tpu.ops.ndt_pallas as npal
+
+    pts = _make_cloud_pair(rng, 700)
+    target = pointcloud.from_numpy(pts, capacity=2048, dtype=jnp.float32)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = ndt.build_ndt_map(target, cfg)
+
+    n_src = 1024
+    src = jnp.asarray(np.tile(pts, (2, 1))[:n_src] + 0.1, jnp.float32)
+    mask = jnp.asarray(np.arange(n_src) % 13 != 0)  # exercise src_mask
+    p = jnp.asarray([0.05, -0.1, 0.08, 0.02, -0.03, 0.05], jnp.float32)
+    offs = ndt._OFFSETS["DIRECT7"]
+
+    ref = ndt.gather_neighborhood(m, src, mask, p, 2.0, offs,
+                                  use_pallas=False)
+    orig = npal.ndt_repack
+    with mock.patch.object(
+            npal, "ndt_repack",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        got = ndt.gather_neighborhood(m, src, mask, p, 2.0, offs,
+                                      use_pallas=True)
+    assert np.array_equal(np.asarray(got.packed), np.asarray(ref.packed))
+
+
 def test_display_cloud_sampling(rng):
     pts = _make_cloud_pair(rng, 1000)
     target = pointcloud.from_numpy(pts, capacity=4096, dtype=jnp.float32)

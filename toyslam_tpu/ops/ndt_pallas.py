@@ -309,6 +309,49 @@ def ndt_terms_raw(params, xyz3, aux3, raw16, interpret: bool = False):
     return jnp.sum(out, axis=1)
 
 
+def _repack_kernel(aux_ref, st_ref, out_ref):
+    st = st_ref[...].T.reshape(16, 8, 128)  # [1024, 16] -> channels
+    nvid_lo = aux_ref[0]
+    nvid_hi = aux_ref[1]
+    okm = aux_ref[2]
+    gate = jnp.where(
+        (okm > 0.5) & (st[10] == nvid_lo) & (st[11] == nvid_hi)
+        & (st[9] > 0.5) & (st[9] < 1.5), 1.0, 0.0)
+    out_ref[...] = jnp.concatenate([st[:9], gate[None]], axis=0)
+
+
+def ndt_repack(aux3, raw16, interpret: bool = False):
+    """Raw [K*N, 16] gather output -> the compact [10, K*N/128, 128]
+    packed stats (9 channels + the id-verification gate) in ONE pass.
+
+    Used by the frozen/turbo gather sites, where the stats must live in
+    compact form (carried across Newton iterations, re-read by several
+    line-search trials): the XLA unpack paid ~3 separate passes over the
+    8x lane-padded gather buffer per regather (slice_bitcast +
+    slice_reduce + and_reduce + transpose copies — measured ~1.8 ms/scan
+    on the default 256k config, profile_exact_trace.py --default). Same
+    gate semantics as ``gather_neighborhood``'s jnp path, bit-identical
+    output channels.
+    """
+    KR = aux3.shape[1]
+    tiles = KR // 8  # 1024 rows per block
+    out = pl.pallas_call(
+        _repack_kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((3, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1024, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((10, 8, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, KR, 128), jnp.float32),
+        interpret=interpret,
+    )(aux3, raw16)
+    return out
+
+
 def ndt_terms(params, xyz3, stats10, block_tiles: int | None = None,
               interpret: bool = False):
     """Run the fused derivative kernel.

@@ -92,6 +92,13 @@ def fleet_fusion(scans_xyzi, scans_mask, imu_acc, imu_gyro, imu_dt,
     B = scans_xyzi.shape[0]
     if B % chunk:
         raise ValueError(f"fleet width {B} not divisible by chunk {chunk}")
+    # Batched lanes keep XLA's unpack for the stats repack: at the fleet's
+    # 8192-point lanes the batch-gridded Pallas repack kernel measured ~4%
+    # slower than the batched XLA passes (single-sequence it wins big —
+    # see NDTConfig.repack_pallas). Bit-identical either way.
+    if config.odometry.ndt.repack_pallas is None:
+        config = config._replace(odometry=config.odometry._replace(
+            ndt=config.odometry.ndt._replace(repack_pallas=False)))
     n = B // chunk
     if n == 1:
         return jax.vmap(lambda *a: ndt_eskf_fusion(*a, config=config))(

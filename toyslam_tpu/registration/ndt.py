@@ -71,6 +71,14 @@ class NDTConfig(NamedTuple):
     # backend, off elsewhere (the jnp fallback also serves f64, autodiff
     # oracles and small clouds).
     use_pallas: bool | None = None
+    # Repack the raw stats gather into the compact 10-channel form with
+    # the single-pass Pallas kernel (ops/ndt_pallas.ndt_repack) instead
+    # of ~3 XLA passes over the lane-padded buffer. Bit-identical output.
+    # None = auto like use_pallas. The vmapped fleet pins this False: at
+    # its 8192-point lanes the batched XLA unpack measured ~4% faster
+    # than the batch-gridded kernel (single-sequence 256k: kernel wins
+    # 133 -> 199 scans/s).
+    repack_pallas: bool | None = None
     # Reuse the voxel neighborhood gathered at the Newton iterate for all
     # More-Thuente trial evaluations in that iteration. The table gathers
     # are ~80% of a derivative eval (hardware random-row floor), and trial
@@ -655,6 +663,17 @@ def _neighbor_hash(ndt_map: NDTMap, src_xyz, p, resolution, offsets):
     return h, nvid, ok
 
 
+def _aux_channels(nvid, ok, src_mask, N, K, dtype):
+    """[3, K*N/128, 128] aux channels for the raw-stats Pallas kernels:
+    expected voxel id 16-bit halves + the in-bounds & source-mask flag."""
+    okm = (ok & _expand(src_mask, N, K)).astype(dtype)
+    return jnp.stack([
+        (nvid & 0xFFFF).astype(dtype),
+        (nvid >> 16).astype(dtype),
+        okm,
+    ]).reshape(3, (K * N) // 128, 128)
+
+
 def gather_neighborhood_raw(ndt_map: NDTMap, src_xyz, src_mask, p,
                             resolution, offsets):
     """Stats gather for the raw-input Pallas kernel (``ndt_terms_raw``).
@@ -673,17 +692,12 @@ def gather_neighborhood_raw(ndt_map: NDTMap, src_xyz, src_mask, p,
         raw = gatherflat.row_gather(ndt_map.hash_table, h)
     else:
         raw = ndt_map.hash_table[h]
-    okm = (ok & _expand(src_mask, N, K)).astype(dtype)
-    aux = jnp.stack([
-        (nvid & 0xFFFF).astype(dtype),
-        (nvid >> 16).astype(dtype),
-        okm,
-    ]).reshape(3, (K * N) // 128, 128)
-    return raw, aux
+    return raw, _aux_channels(nvid, ok, src_mask, N, K, dtype)
 
 
 def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
-                        resolution, offsets) -> NeighborhoodStats:
+                        resolution, offsets,
+                        use_pallas: bool | None = None) -> NeighborhoodStats:
     """Voxel lookup + stats gather for every (DIRECT offset, source point).
 
     The gather half of the reference's ``computeDerivatives`` hot loop
@@ -710,6 +724,20 @@ def gather_neighborhood(ndt_map: NDTMap, src_xyz, src_mask, p,
         stats = gatherflat.row_gather(ndt_map.hash_table, h)
     else:
         stats = ndt_map.hash_table[h]
+    # Compact repack: on TPU f32 the single-pass Pallas kernel replaces
+    # the ~3 XLA passes over the 8x lane-padded gather buffer (column
+    # slices for the id check, the gate and-reduce, the 9-channel
+    # transpose copy). Bit-identical channels; the jnp path below serves
+    # CPU / f64 / autodiff oracles.
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32)
+    if use_pallas and N % 1024 == 0:
+        from toyslam_tpu.ops import ndt_pallas
+
+        aux = _aux_channels(nvid, ok, src_mask, N, K, dtype)
+        packed = ndt_pallas.ndt_repack(aux, stats).reshape(10, K * N)
+        return NeighborhoodStats(packed=packed)
     # Exactly-one-voxel gate: hash-colliding valid voxels ADD their rows
     # (see build_ndt_map), and the summed 16-bit id halves of two aliased
     # ids can coincidentally equal a third in-grid voxel id — the id check
@@ -806,7 +834,8 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
 
     if stats is None:
         stats = gather_neighborhood(ndt_map, src_xyz, src_mask, p,
-                                    resolution, offsets)
+                                    resolution, offsets,
+                                    use_pallas=use_pallas)
 
     tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
     ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
@@ -1065,7 +1094,7 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
                 # are exactly the reference evaluation).
                 ls_stats = gather_neighborhood(
                     ndt_map, src_xyz, src_mask, p_t0, config.resolution,
-                    offsets)
+                    offsets, use_pallas=config.repack_pallas)
             derivs_trial = lambda pt: compute_derivatives(
                 ndt_map, src_xyz, src_mask, pt, d1, d2, config.resolution,
                 offsets, use_pallas=config.use_pallas, stats=ls_stats,
@@ -1153,7 +1182,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
     turbo = config.frozen_linesearch and config.regather_iterations < (1 << 29)
     if turbo:
         stats0 = gather_neighborhood(ndt_map, src_xyz, src_mask, p0,
-                                     config.resolution, offsets)
+                                     config.resolution, offsets,
+                                     use_pallas=config.repack_pallas)
         score0, grad0, hess0 = compute_derivatives(
             ndt_map, src_xyz, src_mask, p0, d1, d2, config.resolution,
             offsets, use_pallas=config.use_pallas, stats=stats0,
@@ -1202,7 +1232,8 @@ def ndt_align(ndt_map: NDTMap, source: PointCloud, guess=None,
                 p_t0 = p + dir_eff * jnp.clip(norm, step_min, step_max)
                 ls_stats = gather_neighborhood(ndt_map, src_xyz, src_mask,
                                                p_t0, config.resolution,
-                                               offsets)
+                                               offsets,
+                                               use_pallas=config.repack_pallas)
                 a_t, p_new, score_n, grad_n, hess_n, n_ev = line_search(
                     p, step_dir, norm, score, grad, hess, ls_stats=ls_stats
                 )
