@@ -193,6 +193,24 @@ def test_sample_pair_vs_golden_f64(sample_pcds):
     assert np.abs(p_jax[:3] - p_gold[:3]).max() < 1e-3, (p_jax, p_gold)
     assert np.abs(p_jax[3:] - p_gold[3:]).max() < 1e-4, (p_jax, p_gold)
 
+    # WORK parity, not just pose parity: the exact config must execute
+    # the same Newton iterations and derivative evaluations (1 init +
+    # first trial + More-Thuente loop trials per iteration) as the f64
+    # reference control flow — eval counts are how the r4 trace proved
+    # line-search trial behavior is semantic (docs/TPU_NOTES.md "Exact
+    # control flow to 126 scans/s"). f32 rounding may flip one borderline
+    # trial, hence the +-1 slack on evals.
+    _, _, it_gold, nev_gold = golden_ndt.align(
+        leaves, min_b, max_b, div, s_pts.astype(np.float64))
+    # Counting conventions: ours counts every Newton body execution (=
+    # line searches run); the golden's ``it`` (like the reference's
+    # nr_iterations_) does not count the pass on which the eps test
+    # breaks. Evals: ours additionally counts the init evaluation.
+    assert int(result.iterations) == it_gold + 1, (int(result.iterations),
+                                                   it_gold)
+    assert abs(int(result.evaluations) - (nev_gold + 1)) <= 1, (
+        int(result.evaluations), nev_gold)
+
     fit = float(ndt.fitness_score(source_ds, target_ds, result.transform))
     assert abs(fit - 0.204504) < 2e-3, fit
 
