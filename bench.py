@@ -259,7 +259,9 @@ def bench_smoother(jax, jnp):
     ``uwb_imu_batch_node.cpp:3229``) in f32, keyframes/s."""
     from toyslam_tpu.pipelines import batch_fusion as bf
 
-    M, R = 32, 20
+    # M=128 keyframes per dispatch: device time is ~3.4 ms per keyframe
+    # window-step; the relay's ~14 ms/dispatch understated M=32 by ~13%.
+    M, R = 128, 20
     rng = np.random.default_rng(2)
     t = np.arange(M) * 0.1
     meas_p = np.stack([np.cos(t), np.sin(t), 0 * t], 1).astype(np.float32) \
@@ -296,7 +298,9 @@ def bench_loam(jax, jnp):
     from toyslam_tpu.pipelines import loam
 
     rng = np.random.default_rng(3)
-    S = 8
+    # S=24: device time is ~3.4 ms/scan (r4 trace) but the relay costs
+    # ~14+ ms/dispatch — S=8 spent a third of the metric on overhead.
+    S = 24
     T = np.eye(4)
     scans = []
     for i in range(S):
@@ -435,7 +439,9 @@ def bench_gnss(jax, jnp):
         from toyslam_tpu.gnss import atmosphere, local, pipeline
         from toyslam_tpu.gnss.ephemeris import sat_pos_vel_clock
 
-        E, S = 256, 24
+        # E=1024 epochs per dispatch (the relay's ~14 ms/dispatch was
+        # ~26% of the former E=256 run).
+        E, S = 1024, 24
         rng = np.random.default_rng(4)
         lat0, lon0 = np.deg2rad(22.3), np.deg2rad(114.17)
         ref = lla_to_ecef(jnp.float64(lat0), jnp.float64(lon0),
