@@ -211,29 +211,25 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
 
     n = vid.shape[0]
     V = config.map_capacity
-    order = jnp.arange(n, dtype=jnp.int32)
-    sorted_vid, order = jax.lax.sort((vid, order), num_keys=1)
+    # Sorted-order pass 1 (round 4): ride the coordinates through ONE kv
+    # sort and do everything downstream in sorted segment order —
+    # segmented doubling-tree reductions + one compaction sort — instead
+    # of the former scatter pipeline (per-point slot scatter, compaction
+    # scatter, unique-id verification gather, two segment_sum
+    # scatter-adds: ~0.85 ms/scan of serialized ~8 ns/update scatters at
+    # 24k points; the sorted-order version measures a fraction of that).
+    sorted_vid, sx_, sy_, sz_ = jax.lax.sort(
+        (vid, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+    iota = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != _INT_MAX)
-    # Slot of every sorted element = running count of group starts.
-    # Compaction scatters stay strictly IN-BOUNDS (add-form): out-of-range
-    # indices with mode="drop" hit a slow serialized XLA scatter path on
-    # TPU (measured ~3 ms vs ~free at 256k updates).
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(pos[-1] + 1, 0)
-    keep = first & (pos < V)
-    summed = jnp.zeros((V,), jnp.int32).at[
-        jnp.where(keep, pos, 0)
-    ].add(jnp.where(keep, sorted_vid, 0))
-    unique_ids = jnp.where(jnp.arange(V, dtype=jnp.int32)
-                           < jnp.minimum(n_unique, V),
-                           summed, _INT_MAX)
-    # Per-point slot via the sort permutation (one in-bounds scatter — a
-    # binary search here cost 13 rounds of slow 1D gathers).
-    slot = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.minimum(pos, V - 1), unique_indices=True)
-    in_map = (unique_ids[slot] == vid) & mask
+    # Points in voxels beyond the slot capacity drop, exactly as the old
+    # slot-clamp + id-verification path dropped them (unique ids are
+    # strictly increasing, so an overflow point can never match slot V-1).
+    in_map = (sorted_vid != _INT_MAX) & (pos < V)
 
     w = in_map.astype(dtype)
     # Two-pass centered covariance in voxel-corner coordinates. The
@@ -243,25 +239,81 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # from the origin, and a pure corner-centered single pass still loses
     # ~2 digits on near-degenerate (inflation-bound) voxels. So: pass 1
     # accumulates corner-relative sums (x' = x - corner, bounded by the
-    # resolution); pass 2 gathers each point's voxel mean offset d =
-    # mean - corner back as ONE packed row gather (3 separate 1D gathers
-    # here measured ~6x slower) and accumulates exactly mean-centered
-    # products (x' - d). Algebraically equal to the reference's
-    # ((sum_pp - 2 sum_p mean^T)/n + mean mean^T) * (n-1)/n.
+    # resolution); pass 2 broadcasts each segment's mean offset d =
+    # mean - corner back to its points and accumulates exactly
+    # mean-centered products (x' - d). Algebraically equal to the
+    # reference's ((sum_pp - 2 sum_p mean^T)/n + mean mean^T) * (n-1)/n.
     res_t = jnp.asarray(res, dtype)
-    cx = jnp.where(in_map, xyz[:, 0] - (ijk[:, 0] + min_b[0]) * res_t, 0.0)
-    cy = jnp.where(in_map, xyz[:, 1] - (ijk[:, 1] + min_b[1]) * res_t, 0.0)
-    cz = jnp.where(in_map, xyz[:, 2] - (ijk[:, 2] + min_b[2]) * res_t, 0.0)
-    acc1 = jax.ops.segment_sum(
-        jnp.stack([w, cx, cy, cz], 1), slot, num_segments=V)
-    cnt = acc1[:, 0]
+    # Voxel corner from the sorted id (identical int decode to the
+    # per-point ijk for every real id; w gates the INT_MAX tail).
+    pid = jnp.where(sorted_vid == _INT_MAX, 0, sorted_vid)
+    pi_ = pid % jnp.maximum(div[0], 1)
+    pj_ = (pid // jnp.maximum(div[0], 1)) % jnp.maximum(div[1], 1)
+    pk_ = pid // jnp.maximum(div[0] * div[1], 1)
+    cx = jnp.where(in_map, sx_ - (pi_ + min_b[0]) * res_t, 0.0)
+    cy = jnp.where(in_map, sy_ - (pj_ + min_b[1]) * res_t, 0.0)
+    cz = jnp.where(in_map, sz_ - (pk_ + min_b[2]) * res_t, 0.0)
+
+    seg_start = jax.lax.cummax(jnp.where(first, iota, -1))
+    off = iota - seg_start
+
+    def seg_tree_sum(vals):
+        """Segmented doubling-tree sum: after the rounds, each segment's
+        FIRST element holds the full segment sum (same recipe as
+        pointcloud.voxel_downsample — log2(n) shifted masked adds, pure
+        bandwidth, no scatters)."""
+        k = 1
+        while k < n:
+            take = ((off % (2 * k)) == 0) & (pos == jnp.concatenate(
+                [pos[k:], jnp.full((k,), -1, pos.dtype)]))
+            shifted = jnp.concatenate(
+                [vals[:, k:], jnp.zeros((vals.shape[0], k), dtype)], axis=1)
+            vals = vals + jnp.where(take[None, :], shifted, 0.0)
+            k *= 2
+        return vals
+
+    acc1 = seg_tree_sum(jnp.stack([w, cx, cy, cz]))  # sums at first pos
+    cnt_pt = acc1[0]
+    d_pt = acc1[1:] / jnp.maximum(cnt_pt, 1.0)[None, :]  # valid at first
+
+    # Gather-free segment broadcast of d to every element: log-shift by
+    # the bits of each element's in-segment offset. Within a segment
+    # off[i - b] == off[i] - b, so after processing bit b the value at i
+    # is the original at i - (off & (2b - 1)) — induction lands every
+    # element on its segment start without a single row gather.
+    b = 1
+    while b < n:
+        bit = (off & b) != 0
+        shifted = jnp.concatenate(
+            [jnp.zeros((3, b), dtype), d_pt[:, :-b]], axis=1)
+        d_pt = jnp.where(bit[None, :], shifted, d_pt)
+        b *= 2
+
+    ex = jnp.where(in_map, cx - d_pt[0], 0.0)
+    ey = jnp.where(in_map, cy - d_pt[1], 0.0)
+    ez = jnp.where(in_map, cz - d_pt[2], 0.0)
+    acc2_pt = seg_tree_sum(jnp.stack(
+        [ex * ex, ex * ey, ex * ez, ey * ey, ey * ez, ez * ez]))
+
+    # Compact (id, count, corner-relative sums, centered products) at the
+    # segment-first positions to the leading V slots with one kv sort —
+    # first elements carry key = pos (already ascending), the rest sort
+    # to the back. Replaces the former compaction scatter + per-point
+    # slot scatter + id-verification gather.
+    key2 = jnp.where(first & (pos < V), pos, _INT_MAX)
+    (_, c_vid, c_cnt, c_sx, c_sy, c_sz,
+     c_xx, c_xy, c_xz, c_yy, c_yz, c_zz) = jax.lax.sort(
+        (key2, sorted_vid, acc1[0], acc1[1], acc1[2], acc1[3],
+         acc2_pt[0], acc2_pt[1], acc2_pt[2], acc2_pt[3], acc2_pt[4],
+         acc2_pt[5]), num_keys=1)
+    take_v = lambda a: (a[:V] if V <= n else jnp.concatenate(
+        [a, jnp.zeros((V - n,), a.dtype)]))
+    occupied = jnp.arange(V, dtype=jnp.int32) < jnp.minimum(n_unique, V)
+    unique_ids = jnp.where(occupied, take_v(c_vid), _INT_MAX)
+    cnt = jnp.where(occupied, take_v(c_cnt), 0.0)
     cnt_safe = jnp.maximum(cnt, 1.0)
-    d_slot = acc1[:, 1:] / cnt_safe[:, None]  # [V, 3] mean - corner, O(res)
-    d_rows = jnp.concatenate(
-        [d_slot, jnp.zeros((V, 1), dtype)], 1)[slot]  # [n, 4] row gather
-    ex = jnp.where(in_map, cx - d_rows[:, 0], 0.0)
-    ey = jnp.where(in_map, cy - d_rows[:, 1], 0.0)
-    ez = jnp.where(in_map, cz - d_rows[:, 2], 0.0)
+    d_slot = jnp.stack(
+        [take_v(c_sx), take_v(c_sy), take_v(c_sz)], 1) / cnt_safe[:, None]
     # Per-slot voxel corner from the (sorted unique) voxel id.
     sid = jnp.where(unique_ids == _INT_MAX, 0, unique_ids)
     si = sid % jnp.maximum(div[0], 1)
@@ -271,15 +323,12 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     mean_y = (sj + min_b[1]).astype(dtype) * res_t + d_slot[:, 1]
     mean_z = (sk + min_b[2]).astype(dtype) * res_t + d_slot[:, 2]
     corr = (cnt_safe - 1.0) / (cnt_safe * cnt_safe)
-    acc2 = jax.ops.segment_sum(
-        jnp.stack([ex * ex, ex * ey, ex * ez, ey * ey, ey * ez, ez * ez], 1),
-        slot, num_segments=V)
-    v00 = acc2[:, 0] * corr
-    v01 = acc2[:, 1] * corr
-    v02 = acc2[:, 2] * corr
-    v11 = acc2[:, 3] * corr
-    v12 = acc2[:, 4] * corr
-    v22 = acc2[:, 5] * corr
+    v00 = take_v(c_xx) * corr
+    v01 = take_v(c_xy) * corr
+    v02 = take_v(c_xz) * corr
+    v11 = take_v(c_yy) * corr
+    v12 = take_v(c_yz) * corr
+    v22 = take_v(c_zz) * corr
 
     (l0, l1, l2), vec = eigh3_soa(v00, v01, v02, v11, v12, v22)
     # cov is PSD by construction; small negative eigenvalues are pure f32
