@@ -122,3 +122,39 @@ def test_registration_degenerate_inputs_stay_finite(rng):
         assert bool(jnp.isfinite(r.transform).all()), (r.transform,)
         g = gicp.gicp_align(src, dst)
         assert bool(jnp.isfinite(g.transform).all()), (g.transform,)
+
+
+def test_icp_fast_nn_matches_exact(rng):
+    """ICPConfig(exact_nn=False) ranks associations with the bf16x3
+    3-pass matmul (the GICP correspondence default). Its ~2^-16 relative
+    ranking error may flip a near-tied neighbor; point-to-point Kabsch
+    must still land on the same transform to < 1 mm / 1e-4 rad."""
+    from unittest import mock
+
+    from toyslam_tpu.ops import nn_pallas
+
+    n = 600
+    pts = rng.uniform(-10, 10, size=(n, 3))
+    true_p = np.array([0.5, -0.3, 0.2, 0.05, -0.03, 0.08])
+    T_true = np.asarray(se3.pose6_to_matrix(jnp.asarray(true_p, jnp.float64)))
+    moved = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+    source = pointcloud.from_numpy(pts, capacity=1024, dtype=jnp.float32)
+    target = pointcloud.from_numpy(moved, capacity=1024, dtype=jnp.float32)
+
+    orig = nn_pallas.nearest_neighbor
+    with mock.patch.object(
+            nn_pallas, "nearest_neighbor",
+            lambda *a, **k: orig(*a, interpret=True, **k)):
+        r_exact = icp.icp_align(
+            source, target,
+            config=icp.ICPConfig(use_pallas_nn=True, exact_nn=True))
+        r_fast = icp.icp_align(
+            source, target,
+            config=icp.ICPConfig(use_pallas_nn=True, exact_nn=False))
+
+    assert bool(r_fast.converged)
+    Te = np.asarray(r_exact.transform)
+    Tf = np.asarray(r_fast.transform)
+    assert np.linalg.norm(Tf[:3, 3] - Te[:3, 3]) < 1e-3, (Te, Tf)
+    assert np.abs(Tf[:3, :3] - Te[:3, :3]).max() < 1e-4, (Te, Tf)

@@ -32,6 +32,15 @@ class ICPConfig(NamedTuple):
     # distance matrix every iteration; falls back to jnp when shapes
     # don't tile.
     use_pallas_nn: bool | None = None
+    # True (default) ranks associations with the full-f32 (HIGHEST)
+    # distance matmul — bit-identical argmin to the jnp path. False uses
+    # the bf16x3 3-pass ranking (the GICP correspondence default,
+    # ops/nn_pallas._make_kernel exact=False): ~1.6x faster per NN pass;
+    # its ~2^-16 relative ranking error can flip a near-tied neighbor,
+    # which point-to-point Kabsch shrugs off (transform deviation pinned
+    # < 1 mm by test_icp_fast_nn_matches_exact). Only affects the Pallas
+    # path; the jnp fallback is always exact.
+    exact_nn: bool = True
 
 
 class ICPResult(NamedTuple):
@@ -101,7 +110,8 @@ def icp_align(source: PointCloud, target: PointCloud, guess=None,
         if use_pallas_nn:
             from toyslam_tpu.ops import nn_pallas
 
-            nn = nn_pallas.nearest_neighbor(cur, tgt_zT, tsq_sent)
+            nn = nn_pallas.nearest_neighbor(cur, tgt_zT, tsq_sent,
+                                            exact=config.exact_nn)
             if nn is not None:
                 part, idx = nn
                 d2 = part + jnp.sum(cur * cur, 1)
