@@ -264,8 +264,10 @@ def test_online_odometry_step_matches_scan(rng):
         st, out = odo.odometry_step(st, jnp.asarray(xyzi[i]),
                                     jnp.asarray(mask[i]), cfg)
         poses.append(np.asarray(out[0]))
+    # atol: eager vs scan-fused compile to different f32 reduction
+    # orders (see test_online_mapping_step_matches_batch).
     np.testing.assert_allclose(np.stack(poses), np.asarray(full.poses),
-                               atol=1e-5)
+                               atol=1e-4)
 
 
 def _mapping_fixture(rng):
@@ -306,8 +308,14 @@ def test_online_mapping_step_matches_batch(rng):
     for i in range(1, S):
         st, out = odo.mapping_step(st, xyzi[i], mask[i], cfg)
         poses.append(np.asarray(out[0]))
+    # Pose tolerance: eager steps vs the scan-fused batch compile to
+    # different fusions of the same program, so every f32 reduction
+    # (including build_ndt_map's segmented tree sums) may round in a
+    # different order; the Newton solve then stops within its epsilon at
+    # slightly different points. Observed drift is ~2e-5 on one element
+    # over an 8-scan chain (the golden-ATE tests pin actual accuracy).
     np.testing.assert_allclose(np.stack(poses),
-                               np.asarray(full.odometry.poses), atol=1e-5)
+                               np.asarray(full.odometry.poses), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(st.map_cloud.mask),
                                   np.asarray(full.map_mask))
     np.testing.assert_allclose(

@@ -265,8 +265,9 @@ def test_repack_kernel_bit_identical(rng):
     """The single-pass stats repack kernel (ops/ndt_pallas.ndt_repack,
     interpret mode on CPU) must reproduce gather_neighborhood's jnp
     unpack BIT-identically — it is the same slicing + gate logic, only
-    fused (re-proven on hardware by the bench parity: the turbo/default
-    odometry config is pinned to the f64 golden by its ATE test)."""
+    fused (re-proven under the real Mosaic compiler by its tests_tpu/
+    twin, and end-to-end by the default odometry config's golden ATE
+    test)."""
     from unittest import mock
 
     import toyslam_tpu.ops.ndt_pallas as npal

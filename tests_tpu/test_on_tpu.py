@@ -11,7 +11,13 @@ hardware-facing claims on the real chip (VERDICT r2 item 3):
    f64 golden pose (<= 1e-3 m / 1e-4 rad; oracle runs host-side NumPy);
 3. one f32 ``window_optimize`` step is finite and reduces the cost;
 4. ``vmap_align`` (the batched fleet primitive) matches per-pair aligns;
-5. the GICP correspondence + GN-terms kernels equal the jnp paths.
+5. the GICP correspondence + GN-terms + covariance kernels equal the
+   jnp paths;
+6. the single-pass stats repack kernel is bit-identical to the jnp
+   unpack under the real Mosaic compiler;
+7. the ICP bf16x3 fast-NN option lands on the exact path's transform;
+8. the flattened batched-gather lowering is bit-identical to the
+   default batched gather.
 
 Reference behaviors being validated: ``ndt_omp_impl.hpp`` derivative
 stack, ``uwb_imu_batch_node.cpp`` windowed GN, ``align.cpp`` batch use.
@@ -251,6 +257,67 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
     assert bool(r_cov_pal.converged) and bool(r_cov_jnp.converged)
     np.testing.assert_allclose(np.asarray(r_cov_pal.transform),
                                np.asarray(r_cov_jnp.transform), atol=3e-3)
+
+
+def test_repack_kernel_bit_identical_on_hardware(rng):
+    """The single-pass stats repack kernel (ops/ndt_pallas.ndt_repack,
+    default-on for the TPU f32 odometry path since r4) must reproduce
+    gather_neighborhood's jnp unpack BIT-identically under the real
+    Mosaic compiler — the CPU suite only proves this in interpret mode
+    (tests/test_ndt.py::test_repack_kernel_bit_identical)."""
+    pts = _structured_cloud(rng, 700)
+    pts4 = np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+    target = pointcloud.from_numpy(pts4, capacity=2048, dtype=jnp.float32)
+    cfg = ndt.NDTConfig(resolution=2.0, map_capacity=2048,
+                        grid_capacity=1 << 14)
+    m = jax.jit(ndt.build_ndt_map, static_argnums=1)(target, cfg)
+
+    n_src = 1024  # divisible by the 1024-row Pallas tile
+    src = jnp.asarray(np.tile(pts4, (2, 1))[:n_src] + 0.1, jnp.float32)
+    mask = jnp.asarray(np.arange(n_src) % 13 != 0)  # exercise src_mask
+    p = jnp.asarray([0.05, -0.1, 0.08, 0.02, -0.03, 0.05], jnp.float32)
+    offs = ndt._OFFSETS["DIRECT7"]
+
+    ref = jax.block_until_ready(jax.jit(
+        lambda: ndt.gather_neighborhood(m, src, mask, p, 2.0, offs,
+                                        use_pallas=False))())
+    got = jax.block_until_ready(jax.jit(
+        lambda: ndt.gather_neighborhood(m, src, mask, p, 2.0, offs,
+                                        use_pallas=True))())
+    assert np.array_equal(np.asarray(got.packed), np.asarray(ref.packed))
+
+
+def test_icp_fast_nn_matches_exact_on_hardware(rng):
+    """ICPConfig(exact_nn=False) under the real Mosaic compiler: the
+    bf16x3 ranking's ~2^-16 relative error may flip near-tied neighbors,
+    but point-to-point Kabsch must land on the exact path's transform to
+    < 1 mm / 1e-4 rad (CPU twin: tests/test_icp.py, interpret mode)."""
+    from toyslam_tpu.registration import icp
+    from toyslam_tpu.core import se3
+
+    n = 600
+    pts = rng.uniform(-10, 10, size=(n, 3))
+    true_p = np.array([0.5, -0.3, 0.2, 0.05, -0.03, 0.08])
+    T_true = np.asarray(se3.pose6_to_matrix(
+        jnp.asarray(true_p, jnp.float32)))
+    moved = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+    source = pointcloud.from_numpy(pts, capacity=1024, dtype=jnp.float32)
+    target = pointcloud.from_numpy(moved, capacity=1024, dtype=jnp.float32)
+
+    align = jax.jit(icp.icp_align, static_argnums=3)
+    r_exact = jax.block_until_ready(align(
+        source, target, jnp.eye(4, dtype=jnp.float32),
+        icp.ICPConfig(use_pallas_nn=True, exact_nn=True)))
+    r_fast = jax.block_until_ready(align(
+        source, target, jnp.eye(4, dtype=jnp.float32),
+        icp.ICPConfig(use_pallas_nn=True, exact_nn=False)))
+
+    assert bool(r_exact.converged) and bool(r_fast.converged)
+    Te = np.asarray(r_exact.transform)
+    Tf = np.asarray(r_fast.transform)
+    assert np.linalg.norm(Tf[:3, 3] - Te[:3, 3]) < 1e-3, (Te, Tf)
+    assert np.abs(Tf[:3, :3] - Te[:3, :3]).max() < 1e-4, (Te, Tf)
 
 
 def test_flat_vmap_gather_matches_default_on_hardware(rng):
