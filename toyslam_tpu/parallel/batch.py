@@ -95,43 +95,98 @@ def initialize_multihost(coordinator_address: str | None = None,
             raise
 
 
+def _chunked_lanes(one_lane, chunk: int):
+    """Per-device lane runner: execute the local lanes as SEQUENTIAL
+    ``lax.map`` chunks of ``chunk`` vmapped lanes instead of one wide vmap.
+
+    Bit-identical per lane to the wide vmap (lanes never interact), but it
+    keeps the lockstep gather working set inside the measured fast
+    footprint regime on real chips: per-device widths past ~16 lanes push
+    the combined NDT stats tables out of the fast-gather footprint
+    (B=16 -> 331 agg scans/s vs B=64 -> 104 on v5e; docs/TPU_NOTES.md
+    "Fleet efficiency", ``fusion.FLEET_CHUNK``). Falls back to the wide
+    vmap when the local batch is <= chunk or not divisible by it.
+    """
+
+    def run(*args):
+        B = args[0].shape[0]
+        if B <= chunk or B % chunk:
+            return jax.vmap(one_lane)(*args)
+        n = B // chunk
+
+        def regroup(x):
+            return x.reshape((n, chunk) + x.shape[1:])
+
+        out = jax.lax.map(lambda a: jax.vmap(one_lane)(*a),
+                          tuple(map(regroup, args)))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B,) + x.shape[2:]), out)
+
+    return run
+
+
+def _fleet_chunk(chunk: int | None) -> int:
+    if chunk is not None:
+        return chunk
+    from toyslam_tpu.pipelines import fusion as fus
+
+    return fus.FLEET_CHUNK
+
+
+def _pin_repack(ndt_cfg):
+    # Batched (vmapped) lanes keep XLA's unpack for the stats repack: at
+    # fleet-sized lanes the batch-gridded Pallas repack kernel measured
+    # ~4% slower than the batched XLA passes (single-sequence it wins
+    # big). Bit-identical either way; see fusion.fleet_fusion.
+    if ndt_cfg.repack_pallas is None:
+        return ndt_cfg._replace(repack_pallas=False)
+    return ndt_cfg
+
+
 def sharded_odometry(mesh: Mesh, scans_xyzi, scans_mask,
                      config: odo.OdometryConfig = odo.OdometryConfig(),
-                     axis: str = "data"):
+                     axis: str = "data", chunk: int | None = None):
     """Run B independent odometry sequences sharded over the mesh data axis.
 
     scans: [B, S, N, 4] / [B, S, N] with B divisible by mesh size. Each
-    device scans its local sequences; outputs stay sharded (gather at the
-    caller if a replicated trajectory is wanted).
+    device scans its local sequences as sequential ``chunk``-lane vmap
+    groups (default ``fusion.FLEET_CHUNK`` — the measured fast gather-
+    footprint regime; see ``_chunked_lanes``); outputs stay sharded
+    (gather at the caller if a replicated trajectory is wanted).
     """
-    batched = jax.vmap(partial(odo.ndt_odometry, config=config))
-
-    in_specs = (P(axis), P(axis))
-    out_specs = P(axis)
+    config = config._replace(ndt=_pin_repack(config.ndt))
+    lanes = _chunked_lanes(partial(odo.ndt_odometry, config=config),
+                           _fleet_chunk(chunk))
 
     fn = jax.shard_map(
-        lambda x, m: batched(x, m),
+        lanes,
         mesh=mesh,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
         check_vma=False,
     )
     return fn(scans_xyzi, scans_mask)
 
 
 def sharded_fusion(mesh: Mesh, scans_xyzi, scans_mask, imu_acc, imu_gyro,
-                   imu_dt, config=None, axis: str = "data"):
+                   imu_dt, config=None, axis: str = "data",
+                   chunk: int | None = None):
     """Shard the fused NDT+ESKF pipeline over independent sequences.
 
     All inputs carry a leading batch dim divisible by the mesh size.
-    (BASELINE config 5: 64-way batched odometry + EKF fusion.)
+    (BASELINE config 5: 64-way batched odometry + EKF fusion.) Each
+    device runs its local lanes as sequential ``chunk``-lane vmap groups
+    exactly like ``fusion.fleet_fusion`` (see ``_chunked_lanes``).
     """
     from toyslam_tpu.pipelines import fusion as fus
 
     cfg = config or fus.FusionConfig()
-    batched = jax.vmap(partial(fus.ndt_eskf_fusion, config=cfg))
+    cfg = cfg._replace(odometry=cfg.odometry._replace(
+        ndt=_pin_repack(cfg.odometry.ndt)))
+    lanes = _chunked_lanes(partial(fus.ndt_eskf_fusion, config=cfg),
+                           _fleet_chunk(chunk))
     fn = jax.shard_map(
-        batched,
+        lanes,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
@@ -170,19 +225,24 @@ def sharded_align(mesh: Mesh, ndt_map: ndt.NDTMap, source: PointCloud,
 
 def sharded_batch_fusion(mesh: Mesh, imu_acc, imu_gyro, imu_dt, imu_valid,
                          meas_t, meas_p, meas_p_valid, config=None,
-                         axis: str = "data"):
+                         axis: str = "data", chunk: int | None = None):
     """Shard B independent streaming-smoother logs over the mesh data axis
     (the flagship estimator as a fleet: one UWB/GPS+IMU log per vehicle).
 
     All inputs carry a leading batch dim divisible by the mesh size;
     leaves of the returned BatchFusionOutput stay sharded on that axis.
+    Local lanes run as sequential ``chunk``-lane vmap groups (see
+    ``_chunked_lanes`` — the smoother has no stats gathers, but its
+    batched dense linear algebra has the same working-set scaling, so it
+    inherits the same default).
     """
     from toyslam_tpu.pipelines import batch_fusion as bf
 
     cfg = config or bf.BatchFusionConfig()
-    batched = jax.vmap(partial(bf.batch_fusion, config=cfg))
+    lanes = _chunked_lanes(partial(bf.batch_fusion, config=cfg),
+                           _fleet_chunk(chunk))
     fn = jax.shard_map(
-        batched,
+        lanes,
         mesh=mesh,
         in_specs=(P(axis),) * 7,
         out_specs=P(axis),
