@@ -88,8 +88,25 @@ class FeatureScan(NamedTuple):
     surf_mask: jax.Array  # [Fs]
 
 
-def organize_and_extract(cloud: PointCloud, cfg: LoamConfig) -> FeatureScan:
-    """Ring/azimuth sort -> curvature -> sector-quota feature selection."""
+class OrganizedScan(NamedTuple):
+    """Sorted scan organization + per-point curvature (golden-oracle
+    surface: tests/golden_loam.py pins these against an f64 line-by-line
+    port of the reference's feature extraction)."""
+
+    xyz: jax.Array  # [n, 3] sorted (ring-major, azimuth-minor)
+    ring: jax.Array  # [n] int32
+    ok: jax.Array  # [n] range/mask-valid
+    curvature: jax.Array  # [n] 11-point stencil value
+    cur_ok: jax.Array  # [n] stencil window fully valid + in-ring
+    edge_thr: jax.Array  # [n] per-point (per-ring) edge gate
+    surf_thr: jax.Array  # [n] per-point (per-ring) surf gate
+
+
+def organize_scan(cloud: PointCloud, cfg: LoamConfig) -> OrganizedScan:
+    """Ring/azimuth sort + 11-point curvature + adaptive thresholds
+    (reference ``organizeByScanAngles`` ``:1040-1088``,
+    ``calculateCurvatureForScanLine`` ``:768-801``,
+    ``calculateAdaptive*Threshold`` ``:744-766``)."""
     dtype = cloud.xyzi.dtype
     xyz = cloud.xyzi[:, :3]
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
@@ -132,6 +149,48 @@ def organize_and_extract(cloud: PointCloud, cfg: LoamConfig) -> FeatureScan:
     curvature = jnp.sum(acc * acc, axis=-1)
     cur_ok = ok_win & same_ring
 
+    if cfg.adaptive_thresholds:
+        # Per-ring curvature percentiles via one kv sort keyed
+        # (ring, bounded-monotone(curvature)): p90 drives the edge gate,
+        # p10 the surf gate (``:744-766``). The curvature payload rides
+        # the same sort; ring boundaries come from a segment count.
+        curv_key = jnp.where(cur_ok, curvature / (curvature + 1.0), 2.0)
+        ring_key = jnp.where(cur_ok, ring_s.astype(dtype), cfg.n_rings + 1.0)
+        _, _, curv_sorted, ring_sorted = jax.lax.sort(
+            (ring_key * 4.0 + curv_key, jnp.arange(n, dtype=jnp.int32),
+             jnp.where(cur_ok, curvature, 0.0), ring_s), num_keys=1)
+        cnt = jax.ops.segment_sum(
+            cur_ok.astype(jnp.int32), ring_s, num_segments=cfg.n_rings)
+        start = jnp.cumsum(cnt) - cnt
+        idx90 = jnp.clip(start + (cnt * 9) // 10, 0, n - 1)
+        idx10 = jnp.clip(start + cnt // 10, 0, n - 1)
+        p90 = curv_sorted[idx90]
+        p10 = curv_sorted[idx10]
+        enough = cnt >= cfg.adaptive_min_points
+        edge_thr_ring = jnp.where(enough,
+                                  jnp.maximum(cfg.edge_threshold, p90 * 0.5),
+                                  cfg.edge_threshold)
+        surf_thr_ring = jnp.where(enough,
+                                  jnp.maximum(cfg.surf_threshold, p10 * 2.0),
+                                  cfg.surf_threshold)
+        edge_thr = edge_thr_ring[ring_s]
+        surf_thr = surf_thr_ring[ring_s]
+    else:
+        edge_thr = jnp.full((n,), cfg.edge_threshold, dtype)
+        surf_thr = jnp.full((n,), cfg.surf_threshold, dtype)
+
+    return OrganizedScan(xyz=xs, ring=ring_s, ok=ok_s, curvature=curvature,
+                         cur_ok=cur_ok, edge_thr=edge_thr, surf_thr=surf_thr)
+
+
+def organize_and_extract(cloud: PointCloud, cfg: LoamConfig) -> FeatureScan:
+    """Ring/azimuth sort -> curvature -> sector-quota feature selection."""
+    org = organize_scan(cloud, cfg)
+    xs, ring_s = org.xyz, org.ring
+    curvature, cur_ok = org.curvature, org.cur_ok
+    edge_thr, surf_thr = org.edge_thr, org.surf_thr
+    n = xs.shape[0]
+
     # Sector id within each ring from the sorted azimuth position
     azim_s = jnp.arctan2(xs[:, 1], xs[:, 0])
     sector = jnp.clip(
@@ -167,36 +226,6 @@ def organize_and_extract(cloud: PointCloud, cfg: LoamConfig) -> FeatureScan:
         sel_mask = mask_all[order2]
         sel_xyz = jnp.where(sel_mask[:, None], xs[order2], _BIG)
         return sel_xyz, sel_mask
-
-    if cfg.adaptive_thresholds:
-        # Per-ring curvature percentiles via one kv sort keyed
-        # (ring, bounded-monotone(curvature)): p90 drives the edge gate,
-        # p10 the surf gate (``:744-766``). The curvature payload rides
-        # the same sort; ring boundaries come from a segment count.
-        curv_key = jnp.where(cur_ok, curvature / (curvature + 1.0), 2.0)
-        ring_key = jnp.where(cur_ok, ring_s.astype(dtype), cfg.n_rings + 1.0)
-        _, _, curv_sorted, ring_sorted = jax.lax.sort(
-            (ring_key * 4.0 + curv_key, jnp.arange(n, dtype=jnp.int32),
-             jnp.where(cur_ok, curvature, 0.0), ring_s), num_keys=1)
-        cnt = jax.ops.segment_sum(
-            cur_ok.astype(jnp.int32), ring_s, num_segments=cfg.n_rings)
-        start = jnp.cumsum(cnt) - cnt
-        idx90 = jnp.clip(start + (cnt * 9) // 10, 0, n - 1)
-        idx10 = jnp.clip(start + cnt // 10, 0, n - 1)
-        p90 = curv_sorted[idx90]
-        p10 = curv_sorted[idx10]
-        enough = cnt >= cfg.adaptive_min_points
-        edge_thr_ring = jnp.where(enough,
-                                  jnp.maximum(cfg.edge_threshold, p90 * 0.5),
-                                  cfg.edge_threshold)
-        surf_thr_ring = jnp.where(enough,
-                                  jnp.maximum(cfg.surf_threshold, p10 * 2.0),
-                                  cfg.surf_threshold)
-        edge_thr = edge_thr_ring[ring_s]
-        surf_thr = surf_thr_ring[ring_s]
-    else:
-        edge_thr = jnp.full((n,), cfg.edge_threshold, dtype)
-        surf_thr = jnp.full((n,), cfg.surf_threshold, dtype)
 
     edge_xyz, edge_mask = pick_rounds(
         curvature, cur_ok & (curvature > edge_thr),
