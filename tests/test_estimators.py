@@ -312,10 +312,14 @@ def test_online_mapping_step_matches_batch(rng):
     # different fusions of the same program, so every f32 reduction
     # (including build_ndt_map's segmented tree sums) may round in a
     # different order; the Newton solve then stops within its epsilon at
-    # slightly different points. Observed drift is ~2e-5 on one element
-    # over an 8-scan chain (the golden-ATE tests pin actual accuracy).
+    # slightly different points. Observed max drift: ~2e-5 on one element
+    # over this fixture's 5-scan chain (r4, after the tree-sum reorder;
+    # re-record here whenever re-measured). Bound = 2.5x observed; the
+    # golden-ATE tests pin actual accuracy. A third widening of this
+    # bound should trigger a redesign of the consistency test, not
+    # another atol bump (VERDICT r4 weak #6).
     np.testing.assert_allclose(np.stack(poses),
-                               np.asarray(full.odometry.poses), atol=1e-4)
+                               np.asarray(full.odometry.poses), atol=5e-5)
     np.testing.assert_array_equal(np.asarray(st.map_cloud.mask),
                                   np.asarray(full.map_mask))
     np.testing.assert_allclose(

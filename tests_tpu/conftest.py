@@ -12,8 +12,9 @@ x64 stays OFF: this lane validates the production f32 surface; f64 oracles
 (tests/golden_ndt.py) are NumPy and run host-side regardless.
 
 First-compile latency on the axon chip is 20-40 s per program; the lane is
-deliberately small (one test per hardware claim: Pallas kernel equality,
-golden align pose, f32 window step, vmapped batch align).
+deliberately small — roughly one test per hardware claim. The claim list
+lives in ``test_on_tpu.py``'s module docstring (the single source of
+truth; this file stopped enumerating it after the two drifted, ADVICE r4).
 """
 
 import os

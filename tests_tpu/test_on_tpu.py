@@ -273,6 +273,11 @@ def test_repack_kernel_bit_identical_on_hardware(rng):
     m = jax.jit(ndt.build_ndt_map, static_argnums=1)(target, cfg)
 
     n_src = 1024  # divisible by the 1024-row Pallas tile
+    # gather_neighborhood silently falls back to the jnp path when
+    # N % 1024 != 0 — guard the precondition so a future n_src / tile
+    # change can never degrade this into a vacuous jnp-vs-jnp
+    # comparison (ADVICE r4).
+    assert n_src % 1024 == 0
     src = jnp.asarray(np.tile(pts4, (2, 1))[:n_src] + 0.1, jnp.float32)
     mask = jnp.asarray(np.arange(n_src) % 13 != 0)  # exercise src_mask
     p = jnp.asarray([0.05, -0.1, 0.08, 0.02, -0.03, 0.05], jnp.float32)
