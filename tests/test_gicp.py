@@ -159,12 +159,12 @@ def test_pallas_nn_path_matches_jnp(rng):
     with mock.patch.object(
             nn_pallas, "nearest_neighbor",
             lambda *a, **k: orig(*a, interpret=True, **k)):
-        # exact_nn=True advertises jnp.argmin equality.
+        # nn_mode="highest" advertises jnp.argmin equality.
         res_pal = gicp.gicp_align(
             source, target,
-            config=gicp.GICPConfig(use_pallas_nn=True, exact_nn=True))
-        # The fast bf16x3 default may pick near-tied neighbors; it only
-        # promises the same pose to ~sub-mm (see GICPConfig.exact_nn).
+            config=gicp.GICPConfig(use_pallas_nn=True, nn_mode="highest"))
+        # The fast single-pass x3 default may pick near-tied neighbors;
+        # it only promises the same pose to ~sub-mm (GICPConfig.nn_mode).
         res_fast = gicp.gicp_align(
             source, target, config=gicp.GICPConfig(use_pallas_nn=True))
 

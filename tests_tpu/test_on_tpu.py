@@ -15,7 +15,8 @@ hardware-facing claims on the real chip (VERDICT r2 item 3):
    jnp paths;
 6. the single-pass stats repack kernel is bit-identical to the jnp
    unpack under the real Mosaic compiler;
-7. the ICP bf16x3 fast-NN option lands on the exact path's transform;
+7. the ICP single-pass NN ranking modes ("x6" default, "x3") land on
+   the nn_mode="highest" path's transform;
 8. the flattened batched-gather lowering is bit-identical to the
    default batched gather.
 
@@ -218,7 +219,7 @@ def test_gicp_kernels_match_jnp_on_hardware(sample_pcds):
     # cov kernel pinned OFF here so the nn/terms kernels are isolated
     # (the cov kernel gets its own comparison below)
     cfg_pal = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True,
-                              exact_nn=True, use_pallas_cov=False)
+                              nn_mode="highest", use_pallas_cov=False)
     cfg_fast = gicp.GICPConfig(use_pallas_nn=True, use_pallas_terms=True,
                                use_pallas_cov=False)
     cfg_jnp = gicp.GICPConfig(use_pallas_nn=False, use_pallas_terms=False,
@@ -293,10 +294,12 @@ def test_repack_kernel_bit_identical_on_hardware(rng):
 
 
 def test_icp_fast_nn_matches_exact_on_hardware(rng):
-    """ICPConfig(exact_nn=False) under the real Mosaic compiler: the
-    bf16x3 ranking's ~2^-16 relative error may flip near-tied neighbors,
-    but point-to-point Kabsch must land on the exact path's transform to
-    < 1 mm / 1e-4 rad (CPU twin: tests/test_icp.py, interpret mode)."""
+    """The single-pass ranking modes ("x6" — the ICP default — and
+    "x3") under the real Mosaic compiler: their accumulation-order /
+    dropped-cross-term deviations may flip near-tied neighbors, but
+    point-to-point Kabsch must land on the nn_mode="highest" path's
+    transform to < 1 mm / 1e-4 rad (CPU twin: tests/test_icp.py,
+    interpret mode)."""
     from toyslam_tpu.registration import icp
     from toyslam_tpu.core import se3
 
@@ -313,16 +316,17 @@ def test_icp_fast_nn_matches_exact_on_hardware(rng):
     align = jax.jit(icp.icp_align, static_argnums=3)
     r_exact = jax.block_until_ready(align(
         source, target, jnp.eye(4, dtype=jnp.float32),
-        icp.ICPConfig(use_pallas_nn=True, exact_nn=True)))
-    r_fast = jax.block_until_ready(align(
-        source, target, jnp.eye(4, dtype=jnp.float32),
-        icp.ICPConfig(use_pallas_nn=True, exact_nn=False)))
-
-    assert bool(r_exact.converged) and bool(r_fast.converged)
+        icp.ICPConfig(use_pallas_nn=True, nn_mode="highest")))
+    assert bool(r_exact.converged)
     Te = np.asarray(r_exact.transform)
-    Tf = np.asarray(r_fast.transform)
-    assert np.linalg.norm(Tf[:3, 3] - Te[:3, 3]) < 1e-3, (Te, Tf)
-    assert np.abs(Tf[:3, :3] - Te[:3, :3]).max() < 1e-4, (Te, Tf)
+    for m in ("x6", "x3"):
+        r_fast = jax.block_until_ready(align(
+            source, target, jnp.eye(4, dtype=jnp.float32),
+            icp.ICPConfig(use_pallas_nn=True, nn_mode=m)))
+        assert bool(r_fast.converged), m
+        Tf = np.asarray(r_fast.transform)
+        assert np.linalg.norm(Tf[:3, 3] - Te[:3, 3]) < 1e-3, (m, Te, Tf)
+        assert np.abs(Tf[:3, :3] - Te[:3, :3]).max() < 1e-4, (m, Te, Tf)
 
 
 def test_flat_vmap_gather_matches_default_on_hardware(rng):

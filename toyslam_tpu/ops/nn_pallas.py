@@ -29,36 +29,85 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _make_kernel(exact: bool):
+NN_MODES = ("highest", "x6", "x3")
+
+
+def _split2(x):
+    """Exact 2-way bf16 split: x == hi + lo up to the dropped sub-bf16
+    tail (hi holds the top 8 mantissa bits, lo the next 8)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: x == hi + mid + lo exactly for normal
+    f32 (8 + 8 + 8 mantissa bits cover the 24-bit significand)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _ranking_dot(s, t_t, mode: str):
+    """s @ t_t for *ranking* at the chosen accuracy/speed point.
+
+    A plain single bf16 pass loses ~0.4% relative on ~100 m coordinates —
+    meters of distance error, enough to flip real correspondences
+    (measured: GICP error 0.28 vs 0.18 on the sample pair). The three
+    modes above that floor (all measured on the v5e,
+    benchmarks/diag_bf16_concat.py, max relative error vs a f64 oracle
+    at 120 m coordinates):
+
+    - "highest": ``Precision.HIGHEST`` — 6 bf16 MXU passes, 7.1e-8.
+      Bit-identical to the jnp path's HIGHEST matmul, which is the ICP
+      ``nn_mode="highest"`` jnp.argmin-equality contract.
+    - "x6": the SAME 6-product hi/mid/lo expansion HIGHEST performs,
+      stacked along the contraction dim as ONE K=18 bf16 MXU pass with
+      f32 accumulation: 6.7e-6 measured (the dropped mid.lo/lo.lo terms
+      are ~2^-24; the measured error is MXU accumulation-order rounding,
+      same class as x3's). Not bit-equal to HIGHEST (different sum
+      order).
+    - "x3": the 3-product hi/lo expansion (~= Precision.HIGH, which
+      Mosaic does not support natively) as ONE K=9 pass: 6.7e-6 — the
+      dropped lo.lo cross term is ~2^-16 relative. Flips ~2.5% of
+      sample-pair correspondences to a neighbor at most ~0.05 m^2
+      farther — harmless for GICP's plane-to-plane objective
+      (end-to-end transform delta < 0.2 mm, tests_tpu).
+
+    The single-pass concat stacking was validated against the r3b
+    "accuracy collapse": that experiment stacked K=6 ([hi|lo] against
+    [hi;hi]), which algebraically DROPS the *.t_lo cross terms — a
+    2.0e-3 (bf16-level) error by construction, not a Mosaic accumulation
+    bug (diag_bf16_concat.py separates the hypotheses; TPU_NOTES "Root
+    cause of the r3b concat collapse").
+    """
+    if mode == "highest":
+        return jnp.dot(s, t_t, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if mode == "x6":
+        s_hi, s_mid, s_lo = _split3(s)
+        t_hi, t_mid, t_lo = _split3(t_t)
+        s18 = jnp.concatenate([s_hi, s_hi, s_mid, s_hi, s_lo, s_mid], 1)
+        t18 = jnp.concatenate([t_hi, t_mid, t_hi, t_lo, t_hi, t_mid], 0)
+        return jnp.dot(s18, t18, preferred_element_type=jnp.float32)
+    if mode == "x3":
+        s_hi, s_lo = _split2(s)
+        t_hi, t_lo = _split2(t_t)
+        s9 = jnp.concatenate([s_hi, s_hi, s_lo], 1)
+        t9 = jnp.concatenate([t_hi, t_lo, t_hi], 0)
+        return jnp.dot(s9, t9, preferred_element_type=jnp.float32)
+    raise ValueError(f"unknown ranking mode {mode!r} (one of {NN_MODES})")
+
+
+def _make_kernel(mode: str):
   def _kernel(src_ref, tgt_t_ref, tsq_ref, best_ref, idx_ref):
     j = pl.program_id(1)
     s = src_ref[...]  # [TN, 3]
     t_t = tgt_t_ref[...]  # [3, TM]
     tsq = tsq_ref[...]  # [1, TM]
-    if exact:
-        # HIGHEST (6 bf16 MXU passes): the default single bf16 pass
-        # loses ~0.4% relative on ~100 m coordinates — meters of
-        # distance error, enough to flip real correspondences
-        # (measured: GICP error 0.28 vs 0.18 on the sample pair).
-        st = jnp.dot(s, t_t, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    else:
-        # Manual bf16x3 split (~= Precision.HIGH, which Mosaic does not
-        # support): s.t = s_hi.t_hi + s_hi.t_lo + s_lo.t_hi, dropping
-        # the lo.lo term. 3 MXU passes instead of 6 — measured 1.49 vs
-        # 2.43 ms/call at [16k, 16k]. Residual error ~2^-16 relative on
-        # the cross term flips ~2.5% of sample-pair correspondences to
-        # a neighbor at most ~0.05 m^2 farther — harmless for GICP's
-        # plane-to-plane objective (end-to-end transform delta < 0.2 mm,
-        # tests_tpu), but NOT bit-exact: callers that advertise
-        # jnp.argmin equality (ICP) keep exact=True.
-        s_hi = s.astype(jnp.bfloat16)
-        s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        t_hi = t_t.astype(jnp.bfloat16)
-        t_lo = (t_t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        st = jnp.dot(s_hi, t_hi, preferred_element_type=jnp.float32)
-        st += jnp.dot(s_hi, t_lo, preferred_element_type=jnp.float32)
-        st += jnp.dot(s_lo, t_hi, preferred_element_type=jnp.float32)
+    st = _ranking_dot(s, t_t, mode)
     d = tsq - 2.0 * st
     local_best = jnp.min(d, axis=1)  # [TN]
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
@@ -94,14 +143,9 @@ def _neg_dist_kernel(src_ref, ssq_ref, tgt_t_ref, tsq_ref, out_ref):
     ssq = ssq_ref[...]  # [TN, 1]
     t_t = tgt_t_ref[...]  # [3, TM]
     tsq = tsq_ref[...]  # [1, TM]
-    # bf16x3 ranking product (see _make_kernel exact=False)
-    s_hi = s.astype(jnp.bfloat16)
-    s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    t_hi = t_t.astype(jnp.bfloat16)
-    t_lo = (t_t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    st = jnp.dot(s_hi, t_hi, preferred_element_type=jnp.float32)
-    st += jnp.dot(s_hi, t_lo, preferred_element_type=jnp.float32)
-    st += jnp.dot(s_lo, t_hi, preferred_element_type=jnp.float32)
+    # Single-pass x3 ranking product (see _ranking_dot): the result is
+    # bf16-cast anyway, so the ~2^-16 x3 error class is invisible here.
+    st = _ranking_dot(s, t_t, "x3")
     out_ref[...] = (2.0 * st - tsq - ssq).astype(jnp.bfloat16)
 
 
@@ -151,7 +195,7 @@ def neg_dist_bf16(src_xyz, src_sq, tgt_t, tgt_sq, interpret: bool = False):
 
 
 def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
-                     exact: bool = True,
+                     mode: str = "highest",
                      interpret: bool = False):
     """argmin_m ( |src_n - tgt_m|^2 ) without materializing [N, M].
 
@@ -168,10 +212,11 @@ def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
     argmin). Falls back to None (caller should use the jnp path) when
     the shapes don't tile.
 
-    exact=True ranks with a full-f32 (HIGHEST) distance matmul and
-    matches jnp.argmin bit-for-bit; exact=False uses the ~1.6x faster
-    bf16x3 3-pass matmul whose ~2^-16 relative ranking error can pick a
-    near-tied neighbor (see _make_kernel).
+    ``mode`` picks the ranking accuracy/speed point (see _ranking_dot):
+    "highest" matches jnp.argmin bit-for-bit (6 MXU passes); "x6" is the
+    same 6-product expansion as ONE K=18 pass (~1e-7-class values, not
+    bit-equal); "x3" is the fastest single-pass ranking (~2^-16 cross
+    term, may pick a near-tied neighbor).
     """
     N = src_xyz.shape[0]
     M = tgt_xyz.shape[1]
@@ -181,7 +226,7 @@ def nearest_neighbor(src_xyz, tgt_xyz, tgt_valid_sq,
         return None
     grid = (N // tn, M // tm)
     best, idx = pl.pallas_call(
-        _make_kernel(exact),
+        _make_kernel(mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, 3), lambda i, j: (i, 0),

@@ -49,13 +49,14 @@ class GICPConfig(NamedTuple):
     # outer iteration at sample-pair scale) and matches jnp.argmin
     # tie-breaking; any shape that doesn't tile falls back to jnp.
     use_pallas_nn: bool | None = None
-    # Exact (HIGHEST, 6 MXU passes) vs bf16x3 (3 passes, ~1.6x faster)
-    # ranking matmul inside the kernel. The fast default flips ~2.5% of
-    # correspondences to near-tied neighbors (<~0.05 m^2 farther on the
-    # sample pair); the final transform moves < 0.2 mm while the NN
-    # stage drops from 2.43 to 1.49 ms/iteration (tests_tpu re-proves
-    # both on hardware). Set True for bit-exact jnp.argmin parity.
-    exact_nn: bool = False
+    # Ranking matmul mode inside the kernel (ops/nn_pallas._ranking_dot).
+    # The "x3" default (single K=9 MXU pass since r5; previously the same
+    # expansion as 3 separate passes) flips ~2.5% of correspondences to
+    # near-tied neighbors (<~0.05 m^2 farther on the sample pair); the
+    # final transform moves < 0.2 mm (tests_tpu re-proves on hardware).
+    # "x6" is the ~1e-7-class single-pass expansion; "highest" gives
+    # bit-exact jnp.argmin parity at 6 MXU passes.
+    nn_mode: str = "x3"
     # Inner Gauss-Newton normal equations: None auto-enables the fused
     # per-point terms kernel (ops/gicp_pallas.py) on TPU f32 when N is a
     # multiple of 1024 — one launch per GN step instead of ~20 small
@@ -221,7 +222,7 @@ def gicp_align(source: PointCloud, target: PointCloud, guess=None,
             from toyslam_tpu.ops import nn_pallas
 
             nn = nn_pallas.nearest_neighbor(moved, tgt_zT, tsq_sent,
-                                            exact=config.exact_nn)
+                                            mode=config.nn_mode)
         if nn is not None:
             part, nn_i = nn
             nn_d = part + jnp.sum(moved * moved, 1)

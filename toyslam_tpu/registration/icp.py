@@ -32,15 +32,20 @@ class ICPConfig(NamedTuple):
     # distance matrix every iteration; falls back to jnp when shapes
     # don't tile.
     use_pallas_nn: bool | None = None
-    # True (default) ranks associations with the full-f32 (HIGHEST)
-    # distance matmul — bit-identical argmin to the jnp path. False uses
-    # the bf16x3 3-pass ranking (the GICP correspondence default,
-    # ops/nn_pallas._make_kernel exact=False): ~1.6x faster per NN pass;
-    # its ~2^-16 relative ranking error can flip a near-tied neighbor,
-    # which point-to-point Kabsch shrugs off (transform deviation pinned
-    # < 1 mm by test_icp_fast_nn_matches_exact). Only affects the Pallas
-    # path; the jnp fallback is always exact.
-    exact_nn: bool = True
+    # Ranking mode for the Pallas NN kernel (ops/nn_pallas._ranking_dot):
+    #  - "x6" (default): the full 6-product hi/mid/lo expansion HIGHEST
+    #    performs, as ONE K=18 MXU pass. Values are ~1e-7-class like
+    #    HIGHEST but not bit-equal (different accumulation order) — an
+    #    argmin flip needs a tie within MXU rounding, and the transform
+    #    deviation is pinned < 1 mm / 1e-4 rad by
+    #    test_icp_fast_nn_matches_exact (+ on-chip twin).
+    #  - "highest": 6 separate MXU passes, bit-identical argmin to the
+    #    jnp path (the strongest verification anchor; ~2x the NN cost).
+    #  - "x3": fastest single-pass ranking (~2^-16 cross-term error, the
+    #    GICP correspondence default); flips near-tied neighbors, which
+    #    point-to-point Kabsch shrugs off.
+    # Only affects the Pallas path; the jnp fallback is always HIGHEST.
+    nn_mode: str = "x6"
 
 
 class ICPResult(NamedTuple):
@@ -111,7 +116,7 @@ def icp_align(source: PointCloud, target: PointCloud, guess=None,
             from toyslam_tpu.ops import nn_pallas
 
             nn = nn_pallas.nearest_neighbor(cur, tgt_zT, tsq_sent,
-                                            exact=config.exact_nn)
+                                            mode=config.nn_mode)
             if nn is not None:
                 part, idx = nn
                 d2 = part + jnp.sum(cur * cur, 1)
