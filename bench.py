@@ -57,17 +57,39 @@ def _jit_with_probe(fn, probe=0):
     return jax.jit(wrapped)
 
 
+def _force_resident(args):
+    """Touch every uploaded array ON DEVICE and fetch one element, so its
+    bytes are provably resident before the timing window opens.
+
+    Defensive: ``jax.block_until_ready`` on a ``device_put`` result is
+    not documented to await the relay's actual byte transfer. The r5
+    noop controls (benchmarks/profile_soa_ab.py) showed the dominant
+    fixed cost is the ~25 ms/program dispatch+fetch round-trip, not a
+    hidden upload (forcing residency moved the noop floor only 0.84 ->
+    0.79 ms/scan at S=32) — but this guard pins any upload tail outside
+    the window for ~one extra round-trip per run, outside the timing.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    for a in jax.tree_util.tree_leaves(args):
+        if hasattr(a, "ravel") and getattr(a, "size", 0):
+            float(jnp.ravel(a)[-1].astype(jnp.float32))
+
+
 def _timed(run, make_args, reps_inside=1):
     """Two warm runs + 3 verified timed runs; returns (best_sec, last_out).
 
     ``run`` must come from ``_jit_with_probe`` (returns (out, checksum)).
     ``make_args(r)`` MUST return freshly ``device_put`` large-array
     operands with r-dependent contents (uploads happen here, outside the
-    timed region). A timed run only counts if its checksum differs from
-    the previous run's — the runtime in this environment was observed
-    (r3) to elide dispatches and hand back stale buffers in ~0.1 ms even
-    for changed inputs; the timing window closes on the host fetch of the
-    checksum, which cannot complete before this run's real execution.
+    timed region, and are forced resident by ``_force_resident`` before
+    the clock starts). A timed run only counts if its checksum differs
+    from the previous run's — the runtime in this environment was
+    observed (r3) to elide dispatches and hand back stale buffers in
+    ~0.1 ms even for changed inputs; the timing window closes on the
+    host fetch of the checksum, which cannot complete before this run's
+    real execution.
     """
     import jax
 
@@ -78,6 +100,7 @@ def _timed(run, make_args, reps_inside=1):
         a = make_args(r_next)
         r_next += 1
         jax.block_until_ready(a)
+        _force_resident(a)
         t0 = time.perf_counter()
         out, chk = run(*a)
         chk_v = float(chk)  # closes the timing window
@@ -107,7 +130,10 @@ def _timed(run, make_args, reps_inside=1):
 
 def bench_align(jax, jnp, t_ds, s_ds, ndt):
     acfg = ndt.NDTConfig(resolution=1.0, map_capacity=8192)
-    REPS = 24
+    # 96 aligns per dispatch: the relay round-trip is ~25 ms per timed
+    # program (r5 noop control, benchmarks/profile_soa_ab.py) — at 24
+    # reps that was ~1 ms/align of pure overhead in a ~1.6 ms metric.
+    REPS = 96
 
     def many_aligns(t_cloud, s_cloud, eps):
         # Map built once per dispatch, outside the rep scan — align.cpp's
@@ -259,9 +285,10 @@ def bench_smoother(jax, jnp):
     ``uwb_imu_batch_node.cpp:3229``) in f32, keyframes/s."""
     from toyslam_tpu.pipelines import batch_fusion as bf
 
-    # M=128 keyframes per dispatch: device time is ~3.4 ms per keyframe
-    # window-step; the relay's ~14 ms/dispatch understated M=32 by ~13%.
-    M, R = 128, 20
+    # M=256 keyframes per dispatch: device time is ~3 ms per keyframe
+    # window-step; the relay costs ~25 ms per timed program (r5 noop
+    # control) — M=32 understated by ~25%, M=128 still ~7%.
+    M, R = 256, 20
     rng = np.random.default_rng(2)
     t = np.arange(M) * 0.1
     meas_p = np.stack([np.cos(t), np.sin(t), 0 * t], 1).astype(np.float32) \
@@ -298,9 +325,10 @@ def bench_loam(jax, jnp):
     from toyslam_tpu.pipelines import loam
 
     rng = np.random.default_rng(3)
-    # S=24: device time is ~3.4 ms/scan (r4 trace) but the relay costs
-    # ~14+ ms/dispatch — S=8 spent a third of the metric on overhead.
-    S = 24
+    # S=64: device time is ~3.4 ms/scan (r4 trace) but the relay costs
+    # ~25 ms per timed program (r5 noop control) — S=8 spent a third of
+    # the metric on overhead, S=24 still ~1 ms/scan.
+    S = 64
     T = np.eye(4)
     scans = []
     for i in range(S):
@@ -337,9 +365,9 @@ def bench_gicp(jax, jnp, t_ds, s_ds):
     s_np = np.asarray(s_ds.xyzi)
     # REPS full aligns (BOTH covariance stages + outer loop) inside one
     # lax.scan, like bench_align: a single align per dispatch measures
-    # mostly the ~14 ms/dispatch axon relay overhead (r4 trace: 15.5 ms
-    # device vs 41 ms wall), not the framework.
-    REPS = 8
+    # mostly the ~25 ms/program axon relay overhead (r5 noop control;
+    # r4 trace: 15.5 ms device vs 41 ms wall), not the framework.
+    REPS = 24
 
     def many(s_xyzi, s_mask, t_cloud, eps):
         def one(carry, k):
@@ -377,7 +405,8 @@ def bench_icp(jax, jnp, t_ds, s_ds):
     correspondences only once per OUTER iteration (4 searches, bf16x3
     3-pass kernel) and reuses them across 8 GN steps; ICP's contract is
     jnp.argmin bit-equality per iteration, so it keeps the exact kernel.
-    4 aligns per dispatch amortize the ~14 ms axon relay overhead.
+    16 aligns per dispatch amortize the ~25 ms/program axon relay
+    overhead (r5 noop control).
     """
     from toyslam_tpu.core.pointcloud import PointCloud
     from toyslam_tpu.registration import icp
@@ -385,7 +414,7 @@ def bench_icp(jax, jnp, t_ds, s_ds):
     cfg = icp.ICPConfig()
     eye = jnp.eye(4, dtype=jnp.float32)
     s_np = np.asarray(s_ds.xyzi)
-    REPS = 4
+    REPS = 16
 
     def many(s_xyzi, s_mask, t_cloud, eps):
         def one(carry, k):
@@ -575,7 +604,9 @@ def _run_stages(out):
     out["ms_per_align"] = round(ms_align, 3)
 
     # ---- Sequential odometry (rosbag config), one dispatch ----
-    S = 32
+    # 64 scans per dispatch: ~25 ms/program relay round-trip (r5 noop
+    # control) was ~0.8 ms/scan of the former S=32 metric.
+    S = 64
     xyzi, mask = _scan_stack(target_np, source_np, S, cap)
     masks = jax.device_put(jnp.asarray(mask))
     out["odometry_scans_per_sec_03leaf"] = round(
@@ -587,7 +618,7 @@ def _run_stages(out):
     # scans, test_parity_config_long_sequence_ate_vs_golden) AND the
     # exact-reference-control-flow variant (no frozen line search, no
     # regather carry) at the same termination epsilon ----
-    S2 = 32
+    S2 = 64
     big_np = _big_scans(target_np, S2)
     big_masks = jax.device_put(jnp.ones((S2, 262144), bool))
     cfg_default = odo.OdometryConfig(work_capacity=24576)

@@ -49,9 +49,10 @@ def readme_block(m: dict, label: str) -> str:
     floor_default = m.get("odometry_256kpt_pct_of_gather_floor")
     floor_exact = m.get("odometry_exact_256kpt_pct_of_gather_floor")
     icp_note = (
-        "bit-exact argmin association; `ICPConfig(exact_nn=False)` swaps "
-        "in GICP's bf16x3 ranking for faster NN passes at < 1 mm "
-        "transform deviation")
+        "single-pass x6 ranking (HIGHEST's full 6-product expansion in "
+        "one MXU pass, < 1 mm deviation pinned); "
+        "`ICPConfig(nn_mode=\"highest\")` keeps bit-exact jnp.argmin "
+        "association")
     rows = [
         ("align.cpp config (0.1 m ds pair, res 1.0, DIRECT7)",
          f"**{m['ms_per_align']:.2f} ms/align ({m['value']:.0f}/s, "

@@ -94,28 +94,49 @@ def transform(cloud: PointCloud, T) -> PointCloud:
     return PointCloud(jnp.concatenate([xyz, cloud.xyzi[:, 3:4]], axis=1), cloud.mask)
 
 
+def soa_channels(xyzi):
+    """[N, 4] -> four lane-dense 1D channels via ONE transpose pass.
+
+    Column slices of the (8, 128)-tiled ``[N, 4]`` layout each re-read
+    the whole padded array (1 of 128 lanes useful), and elementwise math
+    on ``[N, 3]`` minor-dim blocks runs over ~40x padding. Measured r5
+    (benchmarks/profile_ds_r5.py): the min/max + voxel-id stage built on
+    column slices cost 1.59 ms/scan at 256k — over half the downsample —
+    vs one ~4 MB transpose plus full-bandwidth 1D passes.
+    """
+    t = xyzi.T  # [4, N]
+    return t[0], t[1], t[2], t[3]
+
+
 def masked_min_max(cloud: PointCloud):
     """Min/max over valid points (reference: pcl::getMinMax3D in applyFilter).
 
-    Reduces each coordinate as a 1D lane vector: an axis-0 reduction over the
-    [N, 3] block is ~13x slower on TPU (the minor dim tiles 3 -> 128, so the
-    reduction runs over mostly-padding sublanes).
+    Transposes once and reduces each coordinate as a lane-dense 1D
+    vector: an axis-0 reduction over the [N, 3] block is ~13x slower on
+    TPU, and per-column slices of [N, 4] each re-read the whole padded
+    array (see ``soa_channels``).
     """
-    big = jnp.asarray(PAD_COORD, cloud.xyzi.dtype)
-    m = cloud.mask
+    x, y, z, _ = soa_channels(cloud.xyzi)
+    return _min_max_soa(x, y, z, cloud.mask, cloud.xyzi.dtype)
+
+
+def _min_max_soa(x, y, z, mask, dtype):
+    big = jnp.asarray(PAD_COORD, dtype)
     mins, maxs = [], []
-    for a in range(3):
-        c = cloud.xyzi[:, a]
-        mins.append(jnp.min(jnp.where(m, c, big)))
-        maxs.append(jnp.max(jnp.where(m, c, -big)))
+    for c in (x, y, z):
+        mins.append(jnp.min(jnp.where(mask, c, big)))
+        maxs.append(jnp.max(jnp.where(mask, c, -big)))
     return jnp.stack(mins), jnp.stack(maxs)
 
 
-def _voxel_ids(xyz, mask, inv_leaf, min_b, div_mul):
-    """Linear voxel id per point; invalid points get id = INT32_MAX."""
-    ijk = jnp.floor(xyz * inv_leaf).astype(jnp.int32) - min_b
-    vid = jnp.sum(ijk * div_mul, axis=-1)
-    return jnp.where(mask, vid, jnp.iinfo(jnp.int32).max)
+def _voxel_ids_soa(x, y, z, mask, inv_leaf, min_b, div):
+    """Linear voxel id per point from lane-dense 1D channels; invalid
+    points get id = INT32_MAX."""
+    ix = jnp.floor(x * inv_leaf).astype(jnp.int32) - min_b[0]
+    iy = jnp.floor(y * inv_leaf).astype(jnp.int32) - min_b[1]
+    iz = jnp.floor(z * inv_leaf).astype(jnp.int32) - min_b[2]
+    return jnp.where(mask, ix + iy * div[0] + iz * (div[0] * div[1]),
+                     jnp.iinfo(jnp.int32).max)
 
 
 def voxel_ids(cloud: PointCloud, leaf_size: float):
@@ -124,16 +145,17 @@ def voxel_ids(cloud: PointCloud, leaf_size: float):
     Matches VoxelGrid's linearization (``voxel_grid_covariance_omp_impl.hpp:
     86-103,218-226``): ``ijk = floor(p/leaf) - floor(min/leaf)``, linear id =
     ``i + j*dx + k*dx*dy``. Bounds are dynamic *values* (fine under jit);
-    shapes stay static.
+    shapes stay static. Runs on SoA channels (see ``soa_channels``).
     """
     dtype = cloud.xyzi.dtype
     inv_leaf = jnp.asarray(1.0 / leaf_size, dtype)
-    mn, mx = masked_min_max(cloud)
+    x, y, z, _ = soa_channels(cloud.xyzi)
+    mn, mx = _min_max_soa(x, y, z, cloud.mask, dtype)
     min_b = jnp.floor(mn * inv_leaf).astype(jnp.int32)
     max_b = jnp.floor(mx * inv_leaf).astype(jnp.int32)
     div = max_b - min_b + 1
     div_mul = jnp.stack([jnp.int32(1), div[0], div[0] * div[1]])
-    vid = _voxel_ids(cloud.xyzi[:, :3], cloud.mask, inv_leaf, min_b, div_mul)
+    vid = _voxel_ids_soa(x, y, z, cloud.mask, inv_leaf, min_b, div)
     return vid, min_b, div_mul
 
 
@@ -188,49 +210,53 @@ def voxel_downsample(cloud: PointCloud, leaf_size: float,
     lanes = number of occupied voxels (sorted voxel order, valid-first),
     each holding the mean of its points (xyz and intensity).
     """
-    vid, _, _ = voxel_ids(cloud, leaf_size)
     V = cloud.capacity if capacity is None else capacity
-    n = vid.shape[0]
     dtype = cloud.xyzi.dtype
+    mask = cloud.mask
+    # SoA channels once (see soa_channels): every downstream op — min/
+    # max, voxel ids, payload masking — is a full-bandwidth 1D pass
+    # instead of a padded column slice (measured 1.59 -> ~0.2 ms/scan at
+    # 256k for this prologue, benchmarks/profile_ds_r5.py).
+    x, y, z, inten = soa_channels(cloud.xyzi)
+    n = x.shape[0]
+    inv_leaf = jnp.asarray(1.0 / leaf_size, dtype)
+    mn, mx = _min_max_soa(x, y, z, mask, dtype)
+    min_b = jnp.floor(mn * inv_leaf).astype(jnp.int32)
+    max_b = jnp.floor(mx * inv_leaf).astype(jnp.int32)
+    div = max_b - min_b + 1
+    ix = jnp.floor(x * inv_leaf).astype(jnp.int32) - min_b[0]
+    iy = jnp.floor(y * inv_leaf).astype(jnp.int32) - min_b[1]
+    iz = jnp.floor(z * inv_leaf).astype(jnp.int32) - min_b[2]
+    vid = jnp.where(mask, ix + iy * div[0] + iz * (div[0] * div[1]),
+                    jnp.iinfo(jnp.int32).max)
     # Sort the PAYLOAD columns along with the keys: XLA TPU scatters run
     # at a slow ~5-9 ns/update floor, so the former per-point slot scatter
     # and compaction scatter are replaced by one multi-operand kv sort
     # (measured ~0.2 ms at 256k for 2 operands) plus a single sorted-order
     # segment reduction.
-    px = jnp.where(cloud.mask, cloud.xyzi[:, 0], 0.0)
-    py = jnp.where(cloud.mask, cloud.xyzi[:, 1], 0.0)
-    pz = jnp.where(cloud.mask, cloud.xyzi[:, 2], 0.0)
-    pi = jnp.where(cloud.mask, cloud.xyzi[:, 3], 0.0)
+    px = jnp.where(mask, x, 0.0)
+    py = jnp.where(mask, y, 0.0)
+    pz = jnp.where(mask, z, 0.0)
+    pi = jnp.where(mask, inten, 0.0)
     sorted_vid, sx, sy, sz, si = jax.lax.sort(
         (vid, px, py, pz, pi), num_keys=1)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
-    ) & (sorted_vid != jnp.iinfo(jnp.int32).max)
-    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_unique = jnp.maximum(pos[-1] + 1, 0)
     # The weight channel is derived post-sort (masked points carry
     # INT32_MAX ids), so it does not ride the sort.
     w = (sorted_vid != jnp.iinfo(jnp.int32).max).astype(dtype)
 
-    # Segmented doubling-tree reduction over the SORTED runs: after round
-    # k, every element whose in-segment offset is a multiple of 2^(k+1)
-    # holds the sum of its next 2^(k+1) same-segment elements, so after
-    # ceil(log2 n) rounds each segment's FIRST element holds the full
-    # segment sum. This replaces the XLA scatter-add (a serialized ~9
-    # ns/update path, measured 2.2 ms at 256k updates) with log2(n)
-    # shifted masked adds — pure bandwidth — plus one compaction kv sort.
+    # Two-level segmented reduction over the SORTED runs (ops/segtree):
+    # 7 in-row lane-shifted rounds + a tiny cross-row carry scan replace
+    # the former flat 18-round doubling tree AND its full-length
+    # cummax/cumsum bookkeeping (rounds with stride >= the longest
+    # segment moved nothing but still paid full bandwidth). Replaces the
+    # XLA scatter-add (a serialized ~9 ns/update path, measured 2.2 ms
+    # at 256k updates) like the flat tree did, at ~40% of its round
+    # count; summation order differs only at f32 rounding
+    # (tests/test_segtree.py pins sums + bookkeeping).
+    from toyslam_tpu.ops.segtree import seg_reduce
+
     vals = jnp.stack([w, sx * w, sy * w, sz * w, si * w])  # [5, n]
-    seg_start = jax.lax.cummax(
-        jnp.where(first, jnp.arange(n, dtype=jnp.int32), -1))
-    off = jnp.arange(n, dtype=jnp.int32) - seg_start
-    k = 1
-    while k < n:
-        take = ((off % (2 * k)) == 0) & (pos == jnp.concatenate(
-            [pos[k:], jnp.full((k,), -1, pos.dtype)]))
-        shifted = jnp.concatenate(
-            [vals[:, k:], jnp.zeros((vals.shape[0], k), dtype)], axis=1)
-        vals = vals + jnp.where(take[None, :], shifted, 0.0)
-        k *= 2
+    vals, first, pos, n_unique = seg_reduce(sorted_vid, vals)
 
     # Compact the per-segment sums (at first-of-segment positions) to the
     # leading V slots with one kv sort — first elements carry key = pos

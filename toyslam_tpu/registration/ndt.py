@@ -197,17 +197,25 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     dtype = target.xyzi.dtype
     res = config.resolution
     inv_leaf = jnp.asarray(1.0 / res, dtype)
-    xyz = target.xyzi[:, :3]
     mask = target.mask
 
-    mn, mx = masked_min_max(target)
+    # SoA prologue (pointcloud.soa_channels): one transpose, then the
+    # min/max + voxel-id math runs on lane-dense 1D channels instead of
+    # padded [N, 3] column slices (the r5 downsample finding).
+    from toyslam_tpu.core.pointcloud import _min_max_soa, soa_channels
+
+    px, py, pz, _ = soa_channels(target.xyzi)
+    mn, mx = _min_max_soa(px, py, pz, mask, dtype)
     min_b = jnp.floor(mn * inv_leaf).astype(jnp.int32)
     max_b = jnp.floor(mx * inv_leaf).astype(jnp.int32)
     div = max_b - min_b + 1
     div_mul = jnp.stack([jnp.int32(1), div[0], div[0] * div[1]])
 
-    ijk = jnp.floor(xyz * inv_leaf).astype(jnp.int32) - min_b
-    vid = jnp.where(mask, jnp.sum(ijk * div_mul, axis=-1), _INT_MAX).astype(jnp.int32)
+    ix = jnp.floor(px * inv_leaf).astype(jnp.int32) - min_b[0]
+    iy = jnp.floor(py * inv_leaf).astype(jnp.int32) - min_b[1]
+    iz = jnp.floor(pz * inv_leaf).astype(jnp.int32) - min_b[2]
+    vid = jnp.where(mask, ix + iy * div[0] + iz * (div[0] * div[1]),
+                    _INT_MAX).astype(jnp.int32)
 
     n = vid.shape[0]
     V = config.map_capacity
@@ -219,7 +227,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # scatter-adds: ~0.85 ms/scan of serialized ~8 ns/update scatters at
     # 24k points; the sorted-order version measures a fraction of that).
     sorted_vid, sx_, sy_, sz_ = jax.lax.sort(
-        (vid, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+        (vid, px, py, pz), num_keys=1)
     iota = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
@@ -680,7 +688,10 @@ def _neighbor_hash(ndt_map: NDTMap, src_xyz, p, resolution, offsets):
 
     T = se3.pose6_to_matrix(p)
     R, t = T[:3, :3], T[:3, 3]
-    sx, sy, sz = src_xyz[:, 0], src_xyz[:, 1], src_xyz[:, 2]
+    # One transpose instead of three padded column slices (each column
+    # slice of the (8,128)-tiled [N,3] re-reads the whole padded array;
+    # XLA CSEs the repeated transpose across hash/eval sites).
+    sx, sy, sz = src_xyz.T
     tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
     ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
     tz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
@@ -839,7 +850,10 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
 
     T = se3.pose6_to_matrix(p)
     R, t = T[:3, :3], T[:3, 3]
-    sx, sy, sz = src_xyz[:, 0], src_xyz[:, 1], src_xyz[:, 2]
+    # One transpose instead of three padded column slices (each column
+    # slice of the (8,128)-tiled [N,3] re-reads the whole padded array;
+    # XLA CSEs the repeated transpose across hash/eval sites).
+    sx, sy, sz = src_xyz.T
 
     expand = lambda v: _expand(v, N, K)
 
