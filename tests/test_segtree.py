@@ -104,6 +104,32 @@ def test_seg_reduce_all_invalid():
     assert np.asarray(sums).sum() == 0.0
 
 
+@pytest.mark.parametrize("n,n_valid,max_run", [
+    (1024, 1024, 3),
+    (1024, 1000, 300),     # segments spanning several rows
+    (640, 513, 50),
+    (100, 77, 10),         # n not a multiple of the lane width
+    (4096, 4096, 4096),    # one segment spanning everything
+])
+def test_seg_broadcast_matches_oracle(rng, n, n_valid, max_run):
+    """Every element of a segment must receive its global-first
+    element's value exactly (selection, no arithmetic)."""
+    keys, _ = _random_case(rng, n, n_valid, max_run)
+    first, pos, n_unique = _flat_reference(keys, None)
+    vals = np.zeros((3, n), np.float32)
+    anchor_vals = rng.normal(0, 5, (3, n_unique)).astype(np.float32)
+    idx_first = np.flatnonzero(first)
+    vals[:, idx_first] = anchor_vals
+    # garbage at non-first positions must be ignored
+    vals[:, ~first] = 777.0
+
+    out = np.asarray(jax.jit(segtree.seg_broadcast)(
+        jnp.asarray(keys), jnp.asarray(vals)))
+    valid = keys != INT_MAX
+    expect = anchor_vals[:, np.clip(pos, 0, None)]
+    np.testing.assert_array_equal(out[:, valid], expect[:, valid])
+
+
 def test_downsample_still_matches_pcl_semantics(rng):
     """End-to-end: voxel_downsample on the new reduction must produce
     the same voxel set and means (to f32 rounding) as a brute-force

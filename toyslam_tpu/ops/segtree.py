@@ -147,3 +147,81 @@ def seg_reduce(keys, vals, lane: int = LANE):
         first = first[:n]
         pos = pos[:n]
     return sums, first, pos, n_unique
+
+
+def seg_broadcast(keys, vals, lane: int = LANE):
+    """Broadcast each segment's FIRST element's value to the whole
+    segment (the inverse companion of ``seg_reduce``; two-level version
+    of the flat log-shift broadcast in ``ndt.build_ndt_map``).
+
+    keys: [n] int32 sorted (INT32_MAX invalid); vals: [C, n] with
+    meaningful values at global segment-first positions. Returns [C, n]
+    where every element of a segment holds its first element's value
+    (invalid-key positions return whatever the fill produced — callers
+    gate them, exactly as with the flat recipe).
+
+    Level 1 fills within 128-lane rows from each row's global starts
+    (7 log-shift rounds); level 2 fixes the pre-first-start prefix of
+    every row with the value open at the previous row's end — a
+    last-set-wins forward ``associative_scan`` over [C, R] row
+    summaries.
+    """
+    C, n = vals.shape
+    pad = (-n) % lane
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full((pad,), _INT_MAX, keys.dtype)])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((C, pad), vals.dtype)], axis=1)
+    R = keys.shape[0] // lane
+    K = keys.reshape(R, lane)
+    V = vals.reshape(C, R, lane)
+    dtype = vals.dtype
+
+    iota = jnp.arange(lane, dtype=jnp.int32)[None, :]
+    F = jnp.concatenate(
+        [jnp.ones((R, 1), bool), K[:, 1:] != K[:, :-1]], axis=1)
+    not_cont = jnp.concatenate(
+        [jnp.ones((1,), bool), K[1:, 0] != K[:-1, -1]])
+    G = F & (K != _INT_MAX)
+    G = G.at[:, 0].set(G[:, 0] & not_cont)
+
+    # In-row forward fill from G anchors: off = distance to the last
+    # anchor at or before each column; shifting by each set bit of off
+    # lands every element on its anchor (the flat recipe's bit trick,
+    # confined to rows). Elements with no prior in-row anchor keep
+    # garbage and are patched by level 2.
+    anchor = jax.lax.cummax(jnp.where(G, iota, -1), axis=1)  # [R, L]
+    off = iota - anchor  # lane+ for pre-anchor elements (anchor == -1)
+    b = 1
+    while b < lane:
+        bit = ((off & b) != 0) & (anchor >= 0)
+        shifted = jnp.concatenate(
+            [jnp.zeros((C, R, b), dtype), V[:, :, :-b]], axis=2)
+        V = jnp.where(bit[None], shifted, V)
+        b *= 2
+
+    # Level 2: the value open at each row's END is the fill at its last
+    # column when the row has an anchor, else whatever came in from
+    # above. Last-set-wins scan over rows, then patch each row's
+    # pre-anchor prefix with the PREVIOUS row's outgoing value.
+    has_G = jnp.any(G, axis=1)
+    v_last = V[:, :, -1]  # [C, R] — correct outgoing value when has_G
+    if R > 1:
+        def comb(x, y):
+            vx, gx = x
+            vy, gy = y
+            keep = gy > 0.5
+            return (jnp.where(keep, vy, vx), jnp.maximum(gx, gy))
+
+        flag = has_G.astype(dtype)[None, :]
+        d_out, _ = jax.lax.associative_scan(
+            comb, (v_last, jnp.broadcast_to(flag, v_last.shape)), axis=1)
+        d_in = jnp.concatenate(
+            [jnp.zeros((C, 1), dtype), d_out[:, :-1]], axis=1)  # [C, R]
+        pre = (anchor < 0)[None]  # [1, R, L]
+        V = jnp.where(pre, d_in[:, :, None], V)
+
+    out = V.reshape(C, -1)
+    if pad:
+        out = out[:, :n]
+    return out

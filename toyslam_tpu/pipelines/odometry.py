@@ -89,6 +89,13 @@ class OdometryConfig(NamedTuple):
     # coarse pose is already sub-voxel, so a frozen initial gather can
     # serve the refinement; 0 = freeze the initial gather).
     fine_regather: int = 0
+    # Carry the intensity channel through the per-scan downsample. NDT
+    # never reads it, so odometry defaults to False (drops ~20% of the
+    # downsample's sort/segment-reduce payload traffic; poses are
+    # bit-identical). The mapping pipelines force it True — the
+    # reference's global map averages intensity like any field
+    # (pcl::VoxelGrid in ``ndt_rosbag_mapping_node.cpp:108-118``).
+    keep_intensity: bool = False
 
 
 class OdometryOutput(NamedTuple):
@@ -109,7 +116,8 @@ def _scan_step(cfg: OdometryConfig):
         prev_ds, pose, prev_T = carry
         xyzi, mask = scan
         cur = PointCloud(xyzi, mask)
-        cur_ds = voxel_downsample(cur, cfg.scan_leaf, cfg.work_capacity)
+        cur_ds = voxel_downsample(cur, cfg.scan_leaf, cfg.work_capacity,
+                                  with_intensity=cfg.keep_intensity)
 
         m = ndt.build_ndt_map(prev_ds, cfg.ndt)
         guess = prev_T if cfg.warm_start else jnp.eye(4, dtype=xyzi.dtype)
@@ -122,7 +130,8 @@ def _scan_step(cfg: OdometryConfig):
             # loosened eps — was measured to push the end-to-end deviation
             # past the 5 mm bound; its seeding quality is load-bearing.)
             cur_coarse = voxel_downsample(cur_ds, cfg.coarse_leaf,
-                                          cfg.coarse_capacity)
+                                          cfg.coarse_capacity,
+                                          with_intensity=cfg.keep_intensity)
             res_c = ndt.ndt_align(m, cur_coarse, guess, cfg.ndt)
             guess = jnp.where(res_c.converged, res_c.transform, guess)
             n_ev += res_c.evaluations
@@ -159,7 +168,8 @@ def ndt_odometry(scans_xyzi, scans_mask, config: OdometryConfig = OdometryConfig
 
     first = PointCloud(scans_xyzi[0], scans_mask[0])
     first_ds = voxel_downsample(first, config.scan_leaf,
-                                config.work_capacity)
+                                config.work_capacity,
+                                with_intensity=config.keep_intensity)
     eye = jnp.eye(4, dtype=dtype)
 
     carry0 = (first_ds, initial_pose.astype(dtype), eye)
@@ -212,6 +222,9 @@ def ndt_mapping(scans_xyzi, scans_mask, map_capacity: int,
     into a fixed-capacity map cloud and re-applies the 0.5 m voxel filter
     (the reference's unbounded concat+refilter, made memory-static).
     """
+    # The global map averages intensity like the reference's VoxelGrid;
+    # keep the channel regardless of the odometry default.
+    config = config._replace(keep_intensity=True)
     dtype = scans_xyzi.dtype
     N = scans_xyzi.shape[1]
 
@@ -266,7 +279,8 @@ class OdometryState(NamedTuple):
 def odometry_init(first_xyzi, first_mask,
                   config: OdometryConfig = OdometryConfig()) -> OdometryState:
     first_ds = voxel_downsample(PointCloud(first_xyzi, first_mask),
-                                config.scan_leaf, config.work_capacity)
+                                config.scan_leaf, config.work_capacity,
+                                with_intensity=config.keep_intensity)
     eye = jnp.eye(4, dtype=first_xyzi.dtype)
     return OdometryState(prev_ds=first_ds, pose=eye, prev_T=eye)
 
@@ -297,6 +311,7 @@ def mapping_init(first_xyzi, first_mask, map_capacity: int,
                  config: OdometryConfig = OdometryConfig()) -> MappingState:
     from toyslam_tpu.core.pointcloud import pad_to
 
+    config = config._replace(keep_intensity=True)  # see ndt_mapping
     odo = odometry_init(first_xyzi, first_mask, config)
     map0 = pad_to(voxel_downsample(odo.prev_ds, config.map_leaf),
                   map_capacity)
@@ -308,6 +323,7 @@ def mapping_step(state: MappingState, xyzi, mask,
     """One scan of online mapping; chained steps match ``ndt_mapping``
     exactly (``test_online_mapping_step_matches_batch``). Returns
     (new_state, (pose, pairwise_T, converged, iterations, prob))."""
+    config = config._replace(keep_intensity=True)  # see ndt_mapping
     odo_state, out = odometry_step(state.odometry, xyzi, mask, config)
     new_map = _merge_into_map(state.map_cloud, odo_state.prev_ds,
                               odo_state.pose, config)

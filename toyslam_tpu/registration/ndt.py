@@ -262,40 +262,24 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     cy = jnp.where(in_map, sy_ - (pj_ + min_b[1]) * res_t, 0.0)
     cz = jnp.where(in_map, sz_ - (pk_ + min_b[2]) * res_t, 0.0)
 
-    seg_start = jax.lax.cummax(jnp.where(first, iota, -1))
-    off = iota - seg_start
+    # Two-level segmented reduction (ops/segtree, r5): 7 in-row rounds +
+    # a tiny cross-row carry replace the flat log2(n) doubling tree.
+    # first/pos stay the flat recipe's (needed BEFORE the reduction for
+    # the in_map gate); seg_reduce recomputes its own internally —
+    # bit-equal bookkeeping, pinned by tests/test_segtree.py.
+    from toyslam_tpu.ops.segtree import seg_broadcast, seg_reduce
 
     def seg_tree_sum(vals):
-        """Segmented doubling-tree sum: after the rounds, each segment's
-        FIRST element holds the full segment sum (same recipe as
-        pointcloud.voxel_downsample — log2(n) shifted masked adds, pure
-        bandwidth, no scatters)."""
-        k = 1
-        while k < n:
-            take = ((off % (2 * k)) == 0) & (pos == jnp.concatenate(
-                [pos[k:], jnp.full((k,), -1, pos.dtype)]))
-            shifted = jnp.concatenate(
-                [vals[:, k:], jnp.zeros((vals.shape[0], k), dtype)], axis=1)
-            vals = vals + jnp.where(take[None, :], shifted, 0.0)
-            k *= 2
-        return vals
+        return seg_reduce(sorted_vid, vals)[0]
 
     acc1 = seg_tree_sum(jnp.stack([w, cx, cy, cz]))  # sums at first pos
     cnt_pt = acc1[0]
     d_pt = acc1[1:] / jnp.maximum(cnt_pt, 1.0)[None, :]  # valid at first
 
-    # Gather-free segment broadcast of d to every element: log-shift by
-    # the bits of each element's in-segment offset. Within a segment
-    # off[i - b] == off[i] - b, so after processing bit b the value at i
-    # is the original at i - (off & (2b - 1)) — induction lands every
-    # element on its segment start without a single row gather.
-    b = 1
-    while b < n:
-        bit = (off & b) != 0
-        shifted = jnp.concatenate(
-            [jnp.zeros((3, b), dtype), d_pt[:, :-b]], axis=1)
-        d_pt = jnp.where(bit[None, :], shifted, d_pt)
-        b *= 2
+    # Gather-free segment broadcast of d to every element (two-level
+    # log-shift fill, ops/segtree.seg_broadcast — the flat bit-trick
+    # confined to 128-lane rows plus a row-summary scan).
+    d_pt = seg_broadcast(sorted_vid, d_pt)
 
     ex = jnp.where(in_map, cx - d_pt[0], 0.0)
     ey = jnp.where(in_map, cy - d_pt[1], 0.0)
