@@ -42,8 +42,11 @@ class ICPConfig(NamedTuple):
     #  - "highest": 6 separate MXU passes, bit-identical argmin to the
     #    jnp path (the strongest verification anchor; ~2x the NN cost).
     #  - "x3": fastest single-pass ranking (~2^-16 cross-term error, the
-    #    GICP correspondence default); flips near-tied neighbors, which
-    #    point-to-point Kabsch shrugs off.
+    #    GICP correspondence default). NOT recommended for ICP: its
+    #    association flips can oscillate between iterations and stall
+    #    the |d_err| < eps convergence check (observed on-chip r5 —
+    #    600-pt cloud ran to max_iterations with the pose still near the
+    #    exact path's); GICP's plane-to-plane objective tolerates it.
     # Only affects the Pallas path; the jnp fallback is always HIGHEST.
     nn_mode: str = "x6"
 

@@ -228,7 +228,6 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # 24k points; the sorted-order version measures a fraction of that).
     sorted_vid, sx_, sy_, sz_ = jax.lax.sort(
         (vid, px, py, pz), num_keys=1)
-    iota = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
     ) & (sorted_vid != _INT_MAX)
@@ -674,8 +673,9 @@ def _neighbor_hash(ndt_map: NDTMap, src_xyz, p, resolution, offsets):
     R, t = T[:3, :3], T[:3, 3]
     # One transpose instead of three padded column slices (each column
     # slice of the (8,128)-tiled [N,3] re-reads the whole padded array;
-    # XLA CSEs the repeated transpose across hash/eval sites).
-    sx, sy, sz = src_xyz.T
+    # XLA CSEs the repeated transpose across hash/eval sites). [:3]
+    # keeps [N,4] xyzi inputs working (direct-API callers pass them).
+    sx, sy, sz = src_xyz.T[:3]
     tx = R[0, 0] * sx + R[0, 1] * sy + R[0, 2] * sz + t[0]
     ty = R[1, 0] * sx + R[1, 1] * sy + R[1, 2] * sz + t[1]
     tz = R[2, 0] * sx + R[2, 1] * sy + R[2, 2] * sz + t[2]
@@ -836,8 +836,9 @@ def compute_derivatives(ndt_map: NDTMap, src_xyz, src_mask, p, d1, d2,
     R, t = T[:3, :3], T[:3, 3]
     # One transpose instead of three padded column slices (each column
     # slice of the (8,128)-tiled [N,3] re-reads the whole padded array;
-    # XLA CSEs the repeated transpose across hash/eval sites).
-    sx, sy, sz = src_xyz.T
+    # XLA CSEs the repeated transpose across hash/eval sites). [:3]
+    # keeps [N,4] xyzi inputs working (direct-API callers pass them).
+    sx, sy, sz = src_xyz.T[:3]
 
     expand = lambda v: _expand(v, N, K)
 
