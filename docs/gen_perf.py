@@ -38,7 +38,7 @@ def load_metrics(path: Path) -> tuple[dict, str]:
     (``parsed`` key) or a raw bench.py JSON line."""
     doc = json.loads(path.read_text())
     metrics = doc.get("parsed", doc)
-    m = re.search(r"BENCH_(r\d+)", path.name)
+    m = re.search(r"BENCH_(r[0-9a-z]+)", path.name)
     label = m.group(1) if m else path.stem
     return metrics, label
 
