@@ -234,6 +234,44 @@ def test_bias_change_cache_invalidation():
     assert bool(pre.bias_change_exceeds(p, z, z, big, z))
 
 
+def test_odometry_poses_independent_of_intensity_channel(rng):
+    """keep_intensity=False (the odometry default since r5) drops the
+    intensity payload from the downsample's sorts/reduction. NDT never
+    reads intensity, so the trajectory must be BIT-identical to
+    keep_intensity=True — this is the contract that lets the default
+    shed ~20% of the downsample payload traffic."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from toyslam_tpu.pipelines import odometry as odo
+    from toyslam_tpu.registration import ndt as ndtm
+    from test_ndt import _make_cloud_pair
+
+    base = _make_cloud_pair(rng, 600)
+    S, cap = 4, 2048
+    xyzi = np.full((S, cap, 4), 1e9, np.float32)
+    mask = np.zeros((S, cap), bool)
+    for i in range(S):
+        pts = base + np.array([0.2 * i, 0.05 * i, 0.0])
+        xyzi[i, :len(pts), :3] = pts
+        # Non-trivial intensities so a leak into the pose math would show.
+        xyzi[i, :len(pts), 3] = (np.arange(len(pts)) % 31).astype(np.float32)
+        mask[i, :len(pts)] = True
+
+    cfg = odo.OdometryConfig(
+        ndt=ndtm.NDTConfig(resolution=2.0, max_iterations=10,
+                           map_capacity=2048, grid_capacity=1 << 14),
+        scan_leaf=0.5, work_capacity=1024)
+    out_no_i = odo.ndt_odometry(jnp.asarray(xyzi), jnp.asarray(mask),
+                                cfg._replace(keep_intensity=False))
+    out_with = odo.ndt_odometry(jnp.asarray(xyzi), jnp.asarray(mask),
+                                cfg._replace(keep_intensity=True))
+    np.testing.assert_array_equal(np.asarray(out_no_i.poses),
+                                  np.asarray(out_with.poses))
+    np.testing.assert_array_equal(np.asarray(out_no_i.iterations),
+                                  np.asarray(out_with.iterations))
+
+
 def test_online_odometry_step_matches_scan(rng):
     """Streaming odometry_step must produce the same poses as the scan."""
     import sys
