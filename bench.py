@@ -398,15 +398,16 @@ def bench_icp(jax, jnp, t_ds, s_ds):
     downsampled sample pair (the EvaPos-scored pipeline lives in
     apps/icp_demo.py; this times its registration core).
 
-    Cost accounting (r4 — VERDICT weak #7): the pair converges in 13
-    iterations, each paying one bit-exact (HIGHEST, 6 MXU passes)
-    16k x 16k NN kernel at ~2.43 ms = ~32 ms device. GICP is faster
-    despite being the heavier algorithm because it searches
-    correspondences only once per OUTER iteration (4 searches, bf16x3
-    3-pass kernel) and reuses them across 8 GN steps; ICP's contract is
-    jnp.argmin bit-equality per iteration, so it keeps the exact kernel.
-    16 aligns per dispatch amortize the ~25 ms/program axon relay
-    overhead (r5 noop control).
+    Cost accounting (updated r5): the pair converges in 13 iterations,
+    each paying one 16k x 16k NN kernel. Since r5 the DEFAULT ranking is
+    the single-pass x6 expansion (HIGHEST's 6 products in ONE MXU pass,
+    ops/nn_pallas._ranking_dot) — sub-mm-pinned but NOT the bit-exact
+    jnp.argmin contract; `ICPConfig(nn_mode="highest")` restores it at 6
+    passes per NN. The r4 39.4 -> r5 12.7 ms/align drop is therefore
+    BOTH the kernel change AND rep amortization. GICP remains cheaper
+    per-capability because it searches correspondences once per OUTER
+    iteration and reuses them across 8 GN steps. 16 aligns per dispatch
+    amortize the ~25 ms/program axon relay overhead (r5 noop control).
     """
     from toyslam_tpu.core.pointcloud import PointCloud
     from toyslam_tpu.registration import icp

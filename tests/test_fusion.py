@@ -138,6 +138,26 @@ def test_sharded_wrappers_chunked_matches_wide_per_lane(rng):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
 
 
+def test_sharded_chunking_handles_indivisible_local_batch(rng):
+    """A per-device batch that is NOT a multiple of the chunk must run
+    floor(B/chunk) full chunks + a narrower remainder vmap — never fall
+    back to one wide vmap (the pre-r5 silent fallback put e.g. a
+    24-lane/device fleet straight into the measured slow footprint
+    regime). Bit-identity vs the wide path pins the restructuring."""
+    B = 24  # 3 lanes per device; chunk=2 -> one full chunk + remainder 1
+    parts = [_fusion_inputs(rng, S=2, N=400, R=10) for _ in range(B)]
+    stacked = [jnp.stack([p[i] for p in parts]) for i in range(5)]
+    mesh = pbatch.make_mesh(8)
+    ocfg = _small_cfg(R=10).odometry
+
+    wide_o = pbatch.sharded_odometry(mesh, stacked[0], stacked[1],
+                                     config=ocfg, chunk=3)  # == wide
+    mixed_o = pbatch.sharded_odometry(mesh, stacked[0], stacked[1],
+                                      config=ocfg, chunk=2)
+    for w, c in zip(wide_o, mixed_o):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
+
+
 def test_fleet_fusion_rejects_indivisible_chunk(rng):
     parts = [_fusion_inputs(rng, S=2, N=400, R=10) for _ in range(3)]
     stacked = [jnp.stack([p[i] for p in parts]) for i in range(5)]

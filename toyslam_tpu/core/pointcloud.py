@@ -99,10 +99,12 @@ def soa_channels(xyzi):
 
     Column slices of the (8, 128)-tiled ``[N, 4]`` layout each re-read
     the whole padded array (1 of 128 lanes useful), and elementwise math
-    on ``[N, 3]`` minor-dim blocks runs over ~40x padding. Measured r5
-    (benchmarks/profile_ds_r5.py): the min/max + voxel-id stage built on
-    column slices cost 1.59 ms/scan at 256k — over half the downsample —
-    vs one ~4 MB transpose plus full-bandwidth 1D passes.
+    on ``[N, 3]`` minor-dim blocks runs over ~40x padding. Layout
+    hygiene per TPU_NOTES "Memory & layout": the r5 A/B
+    (benchmarks/profile_soa_ab.py, with a noop control) measured the SoA
+    form NEUTRAL inside the composed downsample — XLA fuses the slices
+    well there — but the padded-column form is the documented trap for
+    any consumer XLA cannot fuse.
     """
     t = xyzi.T  # [4, N]
     return t[0], t[1], t[2], t[3]
@@ -231,11 +233,7 @@ def voxel_downsample(cloud: PointCloud, leaf_size: float,
     min_b = jnp.floor(mn * inv_leaf).astype(jnp.int32)
     max_b = jnp.floor(mx * inv_leaf).astype(jnp.int32)
     div = max_b - min_b + 1
-    ix = jnp.floor(x * inv_leaf).astype(jnp.int32) - min_b[0]
-    iy = jnp.floor(y * inv_leaf).astype(jnp.int32) - min_b[1]
-    iz = jnp.floor(z * inv_leaf).astype(jnp.int32) - min_b[2]
-    vid = jnp.where(mask, ix + iy * div[0] + iz * (div[0] * div[1]),
-                    jnp.iinfo(jnp.int32).max)
+    vid = _voxel_ids_soa(x, y, z, mask, inv_leaf, min_b, div)
     # Sort the PAYLOAD columns along with the keys: XLA TPU scatters run
     # at a slow ~5-9 ns/update floor, so the former per-point slot scatter
     # and compaction scatter are replaced by one multi-operand kv sort

@@ -104,23 +104,31 @@ def _chunked_lanes(one_lane, chunk: int):
     footprint regime on real chips: per-device widths past ~16 lanes push
     the combined NDT stats tables out of the fast-gather footprint
     (B=16 -> 331 agg scans/s vs B=64 -> 104 on v5e; docs/TPU_NOTES.md
-    "Fleet efficiency", ``fusion.FLEET_CHUNK``). Falls back to the wide
-    vmap when the local batch is <= chunk or not divisible by it.
+    "Fleet efficiency", ``fusion.FLEET_CHUNK``). A local batch that is
+    not a multiple of ``chunk`` runs floor(B/chunk) full chunks plus one
+    narrower remainder vmap — NO lane ever runs in a wider-than-chunk
+    lockstep group (the former silent wide-vmap fallback put e.g. a
+    24-lane/device fleet straight into the measured slow regime).
     """
 
     def run(*args):
         B = args[0].shape[0]
-        if B <= chunk or B % chunk:
+        if B <= chunk:
             return jax.vmap(one_lane)(*args)
-        n = B // chunk
+        n, rem = divmod(B, chunk)
 
         def regroup(x):
-            return x.reshape((n, chunk) + x.shape[1:])
+            return x[:n * chunk].reshape((n, chunk) + x.shape[1:])
 
         out = jax.lax.map(lambda a: jax.vmap(one_lane)(*a),
                           tuple(map(regroup, args)))
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((n * chunk,) + x.shape[2:]), out)
+        if not rem:
+            return flat
+        tail = jax.vmap(one_lane)(*(a[n * chunk:] for a in args))
         return jax.tree_util.tree_map(
-            lambda x: x.reshape((B,) + x.shape[2:]), out)
+            lambda a, b: jnp.concatenate([a, b], axis=0), flat, tail)
 
     return run
 

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from toyslam_tpu.core import se3
-from toyslam_tpu.core.pointcloud import PointCloud, masked_min_max
+from toyslam_tpu.core.pointcloud import PointCloud
 from toyslam_tpu.ops import gatherflat
 from toyslam_tpu.ops.eigh3 import eigh3_soa
 
@@ -202,7 +202,8 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     # SoA prologue (pointcloud.soa_channels): one transpose, then the
     # min/max + voxel-id math runs on lane-dense 1D channels instead of
     # padded [N, 3] column slices (the r5 downsample finding).
-    from toyslam_tpu.core.pointcloud import _min_max_soa, soa_channels
+    from toyslam_tpu.core.pointcloud import (_min_max_soa, _voxel_ids_soa,
+                                             soa_channels)
 
     px, py, pz, _ = soa_channels(target.xyzi)
     mn, mx = _min_max_soa(px, py, pz, mask, dtype)
@@ -211,11 +212,7 @@ def build_ndt_map(target: PointCloud, config: NDTConfig) -> NDTMap:
     div = max_b - min_b + 1
     div_mul = jnp.stack([jnp.int32(1), div[0], div[0] * div[1]])
 
-    ix = jnp.floor(px * inv_leaf).astype(jnp.int32) - min_b[0]
-    iy = jnp.floor(py * inv_leaf).astype(jnp.int32) - min_b[1]
-    iz = jnp.floor(pz * inv_leaf).astype(jnp.int32) - min_b[2]
-    vid = jnp.where(mask, ix + iy * div[0] + iz * (div[0] * div[1]),
-                    _INT_MAX).astype(jnp.int32)
+    vid = _voxel_ids_soa(px, py, pz, mask, inv_leaf, min_b, div)
 
     n = vid.shape[0]
     V = config.map_capacity
