@@ -348,11 +348,19 @@ class LoamMaps(NamedTuple):
 
 def optimize_pose(features: FeatureScan, maps: LoamMaps, q_init, t_init,
                   cfg: LoamConfig):
-    """Scan-to-map GN (``optimizeOdometry``, ``:1111-1193``)."""
+    """Scan-to-map GN (``optimizeOdometry``, ``:1111-1193``).
+
+    Early exit mirrors the reference exactly: it checks convergence only
+    on every 4th iteration (``iter % 4 == 0``) and breaks when
+    ``|dx| < 1e-6`` — AFTER applying that iteration's update
+    (``loam_mapping_node.cpp:1197-1211``). The pre-r5 version ran the
+    full fixed budget (converged iterations change the pose by < 1e-6
+    each, so results agree to that scale, but the reference's loop count
+    is the semantic)."""
     dtype = features.edge_xyz.dtype
 
-    def body(_, carry):
-        q, t = carry
+    def body(carry):
+        q, t, it, _conv = carry
         R = se3.quat_to_rot(q)
         edge_w = jnp.matmul(features.edge_xyz, R.T, precision=_HP) + t
         surf_w = jnp.matmul(features.surf_xyz, R.T, precision=_HP) + t
@@ -373,10 +381,18 @@ def optimize_pose(features: FeatureScan, maps: LoamMaps, q_init, t_init,
         t_new = jnp.where(do, t + dx[:3], t)
         # axis-angle right-update (:1178-1191) == boxplus for small dx
         q_new = jnp.where(do, se3.quat_boxplus(q, dx[3:6]), q)
-        return (se3.quat_normalize(q_new), t_new)
+        # Reference convergence: every 4th iteration, |dx| < 1e-6 breaks
+        # (a skipped non-finite/thin iteration `continue`s, never breaks).
+        conv = do & (it % 4 == 0) & (jnp.linalg.norm(dx) < 1e-6)
+        return (se3.quat_normalize(q_new), t_new, it + 1, conv)
 
-    q, t = jax.lax.fori_loop(
-        0, cfg.optimization_iterations, body, (q_init, t_init)
+    def cond(carry):
+        _q, _t, it, conv = carry
+        return (it < cfg.optimization_iterations) & ~conv
+
+    q, t, _it, _conv = jax.lax.while_loop(
+        cond, body, (q_init, t_init, jnp.zeros((), jnp.int32),
+                     jnp.asarray(False))
     )
     return q, t
 
