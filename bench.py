@@ -78,7 +78,8 @@ def _force_resident(args):
 
 
 def _timed(run, make_args, reps_inside=1):
-    """Two warm runs + 3 verified timed runs; returns (best_sec, last_out).
+    """Two warm runs + 4 verified timed runs (min >= 3); returns
+    (best_sec, last_out).
 
     ``run`` must come from ``_jit_with_probe`` (returns (out, checksum)).
     ``make_args(r)`` MUST return freshly ``device_put`` large-array
@@ -118,7 +119,7 @@ def _timed(run, make_args, reps_inside=1):
             continue
         last_chk = c
         times.append(dt)
-        if len(times) == 3:
+        if len(times) == 4:
             break
     if len(times) < 3:
         raise RuntimeError(
